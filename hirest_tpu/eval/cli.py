@@ -1,0 +1,91 @@
+"""Evaluation CLI — flag parity with reference evaluate.py:414-501.
+
+Usage:
+    python evaluate.py --task {video_retrieval,moment_retrieval,
+                               moment_segmentation,step_captioning}
+                       --pred_data PRED.json [--gt_data GT.json]
+                       [--print_per_category] [--preprocess_moment_bounds]
+                       [--replace_pred_moment_bounds] [--frame_dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from hirest_tpu.eval.captions import evaluate_step_captions
+from hirest_tpu.eval.metrics import (
+    Categories,
+    compute_step_bound_scores,
+    evaluate_moment_retrieval,
+    evaluate_video_retrieval,
+    preprocess_moment_bounds,
+)
+
+DEFAULT_DATA_ROOT = "./data"
+
+
+def get_eval_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Run experiment", add_help=False)
+    parser.add_argument("--task", type=str, required=True)
+    parser.add_argument("--gt_data", type=str, required=False)
+    parser.add_argument("--pred_data", type=str, required=True)
+    parser.add_argument("--device", type=int, default=-1)
+    parser.add_argument("--print_per_category", action="store_true")
+    parser.add_argument("--help", action="store_true")
+    parser.add_argument("--preprocess_moment_bounds", action="store_true")
+    parser.add_argument("--replace_pred_moment_bounds", action="store_true")
+    parser.add_argument("--frame_dir", type=str, default="None")
+    parser.add_argument("--data_root", type=str, default=DEFAULT_DATA_ROOT,
+                        help="root containing splits/ and evaluation/ (TPU extension)")
+    return parser
+
+
+def main(argv=None) -> dict:
+    args = get_eval_parser().parse_args(argv)
+    print(args)
+
+    splits_gt = os.path.join(args.data_root, "splits/all_data_test.json")
+    moment_gt = os.path.join(args.data_root, "evaluation/formatted_moment_evaluation_gt.json")
+    category_path = os.path.join(args.data_root, "evaluation/categories.json")
+
+    pred_data = args.pred_data
+    if args.preprocess_moment_bounds:
+        if args.gt_data is None:
+            args.gt_data = moment_gt
+        new_pred = preprocess_moment_bounds(args.gt_data, args.pred_data)
+        if args.replace_pred_moment_bounds:
+            assert isinstance(args.pred_data, str), "You must provide a path to the source file"
+            with open(args.pred_data, "w") as f:
+                json.dump(new_pred, f)
+        pred_data = new_pred
+
+    categories = Categories.load(category_path) if os.path.exists(category_path) else Categories.single()
+
+    if args.help:
+        print("Please see the 'examples_for_evaluation_folder' for input examples")
+        return {}
+
+    if args.task == "video_retrieval":
+        result = evaluate_video_retrieval(args.gt_data or splits_gt, pred_data, categories)
+    elif args.task == "moment_retrieval":
+        result = evaluate_moment_retrieval(args.gt_data or splits_gt, pred_data, categories)
+    elif args.task == "moment_segmentation":
+        result = compute_step_bound_scores(args.gt_data or moment_gt, pred_data, categories)
+    elif args.task == "step_captioning":
+        if not args.print_per_category:
+            categories = Categories.single()
+        result = evaluate_step_captions(args.gt_data or moment_gt, pred_data, categories)
+    else:
+        result = {"all": {}}
+
+    if not args.print_per_category:
+        print(result["all"])
+    else:
+        print(result)
+    return result
+
+
+if __name__ == "__main__":
+    main()
