@@ -1,0 +1,510 @@
+"""The multitask training / inference engine.
+
+TPU-native counterpart of reference run.py (`Trainer`, 907 LoC) +
+trainer_base.py. Differences by design:
+
+- every device computation is a jitted pure function keyed by
+  (task, bucket shape): train_step, eval losses, prediction forwards —
+  traced once per shape, no per-batch Python on the hot path;
+- the frozen EVA text tower is a separate feature function (no no_grad
+  bookkeeping, no find_unused_parameters DDP workaround);
+- gradient accumulation / clipping / the warmup-linear-decay schedule live
+  in the optax chain (optim.py);
+- multi-chip scaling = batches sharded over the mesh 'data' axis; XLA
+  inserts the gradient all-reduce (no DDP, no gloo side-channel);
+- checkpoints are orbax pytrees carrying params + optimizer state + step
+  (the reference saves model weights only and silently restarts its
+  optimizer, trainer_base.py:69-85,109-126); BEST-by-val-loss policy kept.
+
+Step captioning trims moment frames to max_frames=20 on the host (a
+boolean gather — data-dependent, so cheaper outside XLA), making every SC
+batch the same static [B, 20, 1024] shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hirest_tpu.config import HirestConfig
+from hirest_tpu.data.annotations import build_examples, caption_targets, load_annotations
+from hirest_tpu.data.batching import TaskBatcher
+from hirest_tpu.data.features import FeatureStore
+from hirest_tpu.data.multitask import MultitaskSchedule
+from hirest_tpu.infer.beam import beam_search
+from hirest_tpu.infer.segmentation import iterative_segmentation
+from hirest_tpu.models.joint import MomentModel
+from hirest_tpu.timeline import trim_to_moment
+from hirest_tpu.tokenizers import clip_tokenize
+from hirest_tpu.train import losses as L
+from hirest_tpu.train.formatting import (
+    format_moment_retrieval,
+    format_moment_segmentation,
+    format_step_captioning,
+)
+from hirest_tpu.train.optim import make_optimizer
+from hirest_tpu.utils.meters import LossMeter
+
+BOS_ID, EOS_ID = 101, 102  # BERT [CLS] / [SEP]
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: HirestConfig,
+        text_encoder_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        wordpiece_tokenizer=None,
+        model: Optional[MomentModel] = None,
+        params=None,
+        feature_store: Optional[FeatureStore] = None,
+        verbose: bool = True,
+        model_config=None,
+    ):
+        self.config = config
+        self.verbose = verbose
+        self.model_cfg = model_config or config.joint_model_config()
+        self.model = model or MomentModel(
+            self.model_cfg,
+            dtype=jnp.bfloat16 if config.fp16 else jnp.float32,
+        )
+        self.tokenizer = wordpiece_tokenizer
+        vocab = getattr(wordpiece_tokenizer, "vocab", None)
+        self.bos_id = vocab["[CLS]"] if vocab else BOS_ID
+        self.eos_id = vocab["[SEP]"] if vocab else EOS_ID
+        self.text_encoder_fn = text_encoder_fn or self._make_text_encoder()
+        self.store = feature_store or FeatureStore(
+            config.video_feature_dir or None, config.asr_dir, config.asr_feature_dir)
+        self.buckets = tuple(config.frame_buckets)
+
+        self.params = params if params is not None else self._init_params()
+        self.tx = None
+        self.opt_state = None
+        self.step = 0
+        self.start_epoch = 0
+        self._jit_cache: dict = {}
+
+        self.loaders = self._build_loaders()
+
+    # -- construction ----------------------------------------------------
+
+    def _make_text_encoder(self):
+        """EVA-CLIP text tower as a frozen feature function. Loads converted
+        weights from pretrained_dir when present; otherwise random-init
+        (useful for tests / scratch runs, loudly warned)."""
+        from hirest_tpu.models.eva_clip import EvaTextTower
+        from hirest_tpu.models.convert import convert_eva_text, load_torch_ckpt
+
+        tower = EvaTextTower(dtype=jnp.bfloat16 if self.config.fp16 else jnp.float32)
+        ckpt = os.path.join(self.config.pretrained_dir, "eva_clip_psz14.pt")
+        if os.path.exists(ckpt):
+            params = {"params": convert_eva_text(load_torch_ckpt(ckpt))}
+            if self.verbose:
+                print(f"Loaded EVA-CLIP text tower from {ckpt}")
+        else:
+            params = tower.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 77), jnp.int32))
+            if self.verbose:
+                print(f"WARNING: {ckpt} not found - EVA text tower is random-init")
+        apply = jax.jit(lambda ids: tower.apply(params, ids))
+        return lambda ids: apply(jnp.asarray(ids))
+
+    def _init_params(self):
+        cfg = self.model_cfg
+        b, t, l = 2, 8, self.config.max_words
+        dummy_asr = (jnp.zeros((b, t, cfg.asr_dim), jnp.float32)
+                     if cfg.use_asr else None)
+        params = self.model.init(
+            jax.random.PRNGKey(self.config.seed),
+            jnp.zeros((b, t, cfg.clip_dim), jnp.float32),
+            jnp.zeros((b, cfg.clip_dim), jnp.float32),
+            jnp.zeros((b, l), jnp.int32),
+            dummy_asr,
+            method=MomentModel.init_all,
+        )
+        # pretrained CLIP4Caption initializer (modeling.py:102-110)
+        bin_path = os.path.join(self.config.pretrained_dir,
+                                "clip4caption_vit-b-32_model.bin")
+        if os.path.exists(bin_path):
+            from hirest_tpu.models.convert import (
+                init_moment_model_from_clip4caption, load_torch_ckpt)
+
+            params = {"params": init_moment_model_from_clip4caption(
+                dict(params["params"]), load_torch_ckpt(bin_path), cfg)}
+            if self.verbose:
+                print(f"Initialized encoder/decoder from {bin_path}")
+        return params
+
+    def _build_loaders(self) -> dict:
+        cfg = self.config
+        loaders: dict = {}
+        if not cfg.data_dir:
+            return loaders
+        for split in ("train", "val", "test"):
+            path = os.path.join(cfg.data_dir, f"all_data_{split}.json")
+            if not os.path.exists(path):
+                continue
+            anns = load_annotations(path)
+            loaders[split] = {}
+            for task in cfg.tasks:
+                ex = build_examples(anns, task, cfg.n_model_frames,
+                                    is_train=(split == "train"),
+                                    end_to_end=cfg.end_to_end)
+                if task == "step_captioning" and self.tokenizer is not None:
+                    for e in ex:
+                        e.update(caption_targets(self.tokenizer,
+                                                 e["target_text_raw"], cfg.max_words))
+                bs = cfg.train_batch_size if split == "train" else cfg.eval_batch_size
+                loaders[split][task] = TaskBatcher(
+                    ex, batch_size=bs, store=self.store, buckets=self.buckets,
+                    shuffle=(split == "train"), seed=cfg.seed,
+                    num_hosts=jax.process_count(), host_id=jax.process_index())
+        return loaders
+
+    # -- jitted step functions -------------------------------------------
+
+    def _loss_for_task(self, params, task, arrs, dropout_rng=None):
+        m = self.model
+        if task == "moment_retrieval":
+            out = m.apply(params, arrs["vis_feats"], arrs["text_feat"],
+                          arrs["video_mask"], arrs["moment_mask"],
+                          arrs.get("asr_feats"))
+            return L.moment_retrieval_loss(
+                out["start_logits"], out["end_logits"],
+                arrs["moment_retrieval_start_target"],
+                arrs["moment_retrieval_end_target"],
+                arrs["moment_mask"], arrs.get("batch_mask"))
+        if task == "moment_segmentation":
+            logits = m.apply(params, arrs["vis_feats"], arrs["text_feat"],
+                             arrs["video_mask"], arrs["moment_mask"],
+                             arrs.get("asr_feats"), arrs["prev_boundary_mask"],
+                             method=MomentModel.moment_segmentation)
+            return L.moment_segmentation_loss(
+                logits, arrs["moment_segmentation_target"],
+                arrs["moment_mask"], arrs.get("batch_mask"))
+        if task == "step_captioning":
+            vis = m.apply(params, arrs["vis_feats"], arrs["text_feat"],
+                          arrs.get("asr_feats"), method=MomentModel.caption_encode)
+            logits = m.apply(params, vis, arrs["input_caption_ids"],
+                             arrs["decoder_mask"], method=MomentModel.caption_logits)
+            return L.step_captioning_loss(logits, arrs["output_caption_ids"],
+                                          arrs.get("batch_mask"))
+        raise ValueError(task)
+
+    def _get_train_step(self, task):
+        key = ("train", task)
+        if key not in self._jit_cache:
+            tx = self.tx
+
+            @jax.jit
+            def train_step(params, opt_state, arrs):
+                loss, grads = jax.value_and_grad(
+                    lambda p: self._loss_for_task(p, task, arrs))(params)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                return new_params, new_opt, loss
+
+            self._jit_cache[key] = train_step
+        return self._jit_cache[key]
+
+    def _get_eval_loss(self, task):
+        key = ("loss", task)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda params, arrs: self._loss_for_task(params, task, arrs))
+        return self._jit_cache[key]
+
+    # -- batch prep -------------------------------------------------------
+
+    def _prepare(self, batch: dict, task: str) -> dict:
+        """Host batch dict -> device-ready array dict (incl. text encode and
+        the SC moment trim)."""
+        text_ids = clip_tokenize(batch["prompts"])
+        text_feat = np.asarray(self.text_encoder_fn(text_ids), dtype=np.float32)
+
+        arrs = {"text_feat": jnp.asarray(text_feat)}
+        if task == "step_captioning":
+            mf = self.config.max_frames_step_captioning
+            vis = np.stack([trim_to_moment(batch["vis_feats"][i],
+                                           batch["moment_mask"][i], mf)
+                            for i in range(len(batch["prompts"]))])
+            arrs["vis_feats"] = jnp.asarray(vis)
+            if "asr_feats" in batch:
+                asr = np.stack([trim_to_moment(batch["asr_feats"][i],
+                                               batch["moment_mask"][i], mf)
+                                for i in range(len(batch["prompts"]))])
+                arrs["asr_feats"] = jnp.asarray(asr)
+            for k in ("input_caption_ids", "output_caption_ids", "decoder_mask"):
+                if k in batch:
+                    arrs[k] = jnp.asarray(batch[k])
+        else:
+            arrs["vis_feats"] = jnp.asarray(batch["vis_feats"])
+            arrs["video_mask"] = jnp.asarray(batch["video_mask"])
+            arrs["moment_mask"] = jnp.asarray(batch["moment_mask"])
+            if "asr_feats" in batch:
+                arrs["asr_feats"] = jnp.asarray(batch["asr_feats"])
+            for k in ("moment_retrieval_start_target", "moment_retrieval_end_target",
+                      "moment_segmentation_target", "prev_boundary_mask"):
+                if k in batch:
+                    arrs[k] = jnp.asarray(batch[k])
+        if "batch_mask" in batch:
+            arrs["batch_mask"] = jnp.asarray(batch["batch_mask"])
+        return arrs
+
+    # -- training ---------------------------------------------------------
+
+    def setup_optimizer(self, steps_per_epoch: int):
+        cfg = self.config
+        total = (steps_per_epoch // cfg.gradient_accumulation_steps) * cfg.epochs
+        self.tx = make_optimizer(cfg.lr, cfg.warmup_steps, max(total, 1),
+                                 cfg.clip_grad_norm, cfg.weight_decay,
+                                 cfg.gradient_accumulation_steps)
+        self.opt_state = self.tx.init(self.params)
+        self._jit_cache.clear()
+
+    def train(self):
+        cfg = self.config
+        train_batchers = self.loaders["train"]
+        schedule = MultitaskSchedule(train_batchers, shuffle=True)
+        self.setup_optimizer(len(schedule))
+
+        best_valid, best_epoch = float("inf"), 0
+        meter = LossMeter()
+
+        for epoch in range(self.start_epoch, self.start_epoch + cfg.epochs):
+            schedule.set_epoch(epoch)
+            for batch in schedule:
+                task = batch["tasks"][0]
+                arrs = self._prepare(batch, task)
+                step_fn = self._get_train_step(task)
+                self.params, self.opt_state, loss = step_fn(
+                    self.params, self.opt_state, arrs)
+                self.step += 1
+                if self.verbose:
+                    meter.update(float(loss))
+
+            val_loss = 0.0
+            epoch_results = {}
+            for task in cfg.tasks:
+                has_target = task != "moment_segmentation"
+                res = self.evaluate(self.loaders["val"][task], task,
+                                    has_target=has_target)
+                epoch_results[task] = res
+                if has_target and "loss" in res:
+                    val_loss += res["loss"]
+
+            if self.verbose:
+                print(f"Epoch {epoch} | train loss {meter.val:.4f} | "
+                      f"val loss {val_loss:.4f}")
+                for task, res in epoch_results.items():
+                    path = os.path.join(cfg.ckpt_dir,
+                                        f"{task}_epoch_{str(epoch).zfill(3)}.json")
+                    os.makedirs(cfg.ckpt_dir, exist_ok=True)
+                    with open(path, "w") as f:
+                        json.dump(res, f, indent=4)
+
+            if val_loss < best_valid or epoch == self.start_epoch:
+                best_valid, best_epoch = val_loss, epoch
+                self.save("BEST")
+        self.save("LAST")
+
+        if self.verbose:
+            print("Best Epoch:", best_epoch)
+        self.load(os.path.join(cfg.ckpt_dir, "BEST"))
+
+        results = {}
+        if "test" in self.loaders:
+            for task in cfg.tasks:
+                res = self.evaluate(self.loaders["test"][task], task, has_target=False)
+                results[task] = res
+                path = os.path.join(cfg.ckpt_dir, f"test_{task}_BEST.json")
+                with open(path, "w") as f:
+                    json.dump(res, f, indent=4)
+        return results
+
+    # -- inference --------------------------------------------------------
+
+    def predict(self, batcher: TaskBatcher, task: str, has_target: bool = False):
+        cfg = self.config
+        predictions, targets, fnames, prompts, durations, losses = [], [], [], [], [], []
+
+        for batch in batcher:
+            arrs = self._prepare(batch, task)
+            if has_target and self._has_targets(batch, task):
+                losses.append(float(self._get_eval_loss(task)(self.params, arrs)))
+
+            if task == "moment_retrieval":
+                preds = self._predict_moment_retrieval(arrs)
+                if "moment_retrieval_start_target" in batch:
+                    targets.extend(np.stack([
+                        batch["moment_retrieval_start_target"],
+                        batch["moment_retrieval_end_target"]], axis=1).tolist())
+            elif task == "moment_segmentation":
+                preds = self._predict_moment_segmentation(arrs, batch)
+                targets.extend(batch.get("all_bound_frames",
+                                         [[]] * len(batch["prompts"])))
+            elif task == "step_captioning":
+                preds = self._predict_step_captioning(arrs)
+                targets.extend(batch.get("target_text_raw",
+                                         [""] * len(batch["prompts"])))
+            else:
+                raise ValueError(task)
+
+            predictions.extend(preds)
+            fnames.extend(batch["video_fnames"])
+            prompts.extend(batch["prompts"])
+            durations.extend(batch["video_duration"])
+
+        loss = float(np.mean(losses)) if losses else None
+        if task == "moment_retrieval":
+            return format_moment_retrieval(
+                prompts, fnames, durations, predictions, cfg.n_model_frames,
+                targets if has_target else None, loss)
+        if task == "moment_segmentation":
+            return format_moment_segmentation(
+                fnames, durations, predictions, cfg.n_model_frames,
+                targets, loss)
+        return format_step_captioning(
+            fnames, durations, predictions,
+            targets if has_target else None, loss)
+
+    def evaluate(self, batcher, task, has_target=False):
+        return self.predict(batcher, task, has_target=has_target)
+
+    @staticmethod
+    def _has_targets(batch, task):
+        keys = {"moment_retrieval": "moment_retrieval_start_target",
+                "moment_segmentation": "moment_segmentation_target",
+                "step_captioning": "output_caption_ids"}
+        return keys[task] in batch
+
+    def _predict_moment_retrieval(self, arrs):
+        key = ("pred", "moment_retrieval")
+        if key not in self._jit_cache:
+            @jax.jit
+            def fwd(params, arrs):
+                out = self.model.apply(params, arrs["vis_feats"], arrs["text_feat"],
+                                       arrs["video_mask"], arrs["moment_mask"],
+                                       arrs.get("asr_feats"))
+                neg = -1e10
+                start = jnp.where(arrs["video_mask"] > 0, out["start_logits"], neg)
+                end = jnp.where(arrs["video_mask"] > 0, out["end_logits"], neg)
+                return jnp.stack([start.argmax(1), end.argmax(1)], axis=1)
+
+            self._jit_cache[key] = fwd
+        return np.asarray(self._jit_cache[key](self.params, arrs)).tolist()
+
+    def _predict_moment_segmentation(self, arrs, batch):
+        key = ("pred", "moment_segmentation")
+        if key not in self._jit_cache:
+            @jax.jit
+            def score(params, arrs, moment_mask, prev_boundary_mask):
+                logits = self.model.apply(
+                    params, arrs["vis_feats"], arrs["text_feat"],
+                    arrs["video_mask"], moment_mask, arrs.get("asr_feats"),
+                    prev_boundary_mask, method=MomentModel.moment_segmentation)
+                masked = jnp.where(moment_mask > 0, logits,
+                                   -jnp.finfo(jnp.float32).max)
+                return jax.nn.softmax(masked, axis=1)
+
+            self._jit_cache[key] = score
+
+        score = self._jit_cache[key]
+
+        def score_fn(mm, pbm):
+            return np.asarray(score(self.params, arrs, jnp.asarray(mm),
+                                    jnp.asarray(pbm)))
+
+        t = arrs["vis_feats"].shape[1]
+        return iterative_segmentation(
+            score_fn, np.asarray(batch["moment_bound_frames"]), t,
+            self.config.moment_segmentation_difference_threshold,
+            self.config.moment_segmentation_max_iterations)
+
+    def _predict_step_captioning(self, arrs):
+        cfg = self.config
+        beam = cfg.num_beams
+        b = arrs["vis_feats"].shape[0]
+        key = ("pred", "step_captioning", b, beam)
+        if key not in self._jit_cache:
+            max_words = cfg.max_words
+
+            @jax.jit
+            def decode(params, arrs):
+                vis = self.model.apply(params, arrs["vis_feats"], arrs["text_feat"],
+                                       arrs.get("asr_feats"),
+                                       method=MomentModel.caption_encode)
+                vis_rpt = jnp.repeat(vis, beam, axis=0)
+
+                def logits_fn(ids, t):
+                    full = self.model.apply(params, vis_rpt, ids[:, :max_words],
+                                            method=MomentModel.caption_logits)
+                    return full[:, t]
+
+                return beam_search(logits_fn, b, beam, max_words,
+                                   self.bos_id, self.eos_id)
+
+            self._jit_cache[key] = decode
+
+        ids, _ = self._jit_cache[key](self.params, arrs)
+        ids = np.asarray(ids)
+        out = []
+        for row in ids:
+            if self.tokenizer is not None:
+                from hirest_tpu.tokenizers.wordpiece import detokenize_caption
+
+                toks = self.tokenizer.convert_ids_to_tokens(
+                    [int(x) for x in row])
+                out.append(detokenize_caption(toks))
+            else:
+                out.append(" ".join(str(int(x)) for x in row if x != 0))
+        return out
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save(self, name: str):
+        from flax import serialization
+
+        os.makedirs(self.config.ckpt_dir, exist_ok=True)
+        path = os.path.join(self.config.ckpt_dir, f"{name}.msgpack")
+        state = {"params": self.params, "step": self.step}
+        if self.opt_state is not None:
+            state["opt_state"] = self.opt_state
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(state))
+        if self.verbose:
+            print("Model saved at", path)
+
+    def load(self, path: str):
+        from flax import serialization
+
+        if not path.endswith(".msgpack"):
+            path = path + ".msgpack"
+        with open(path, "rb") as f:
+            data = f.read()
+        template = {"params": self.params, "step": 0}
+        if self.opt_state is not None:
+            template["opt_state"] = self.opt_state
+        state = serialization.from_bytes(template, data)
+        self.params = state["params"]
+        self.step = int(state["step"])
+        if self.opt_state is not None and "opt_state" in state:
+            self.opt_state = state["opt_state"]
+        if self.verbose:
+            print("Model loaded from", path)
+
+    def load_torch_checkpoint(self, ckpt_path: str):
+        """Load a reference-format .pth joint checkpoint (key remapping
+        included) into the flax params."""
+        from hirest_tpu.models.convert import convert_moment_model, load_torch_ckpt
+
+        sd = load_torch_ckpt(ckpt_path)
+        self.params = {"params": convert_moment_model(sd, self.model_cfg)}
+        if self.verbose:
+            print("Model loaded from", ckpt_path)

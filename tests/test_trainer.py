@@ -1,0 +1,179 @@
+"""End-to-end trainer integration test on a tiny slice of the real
+annotations with synthetic features: train a few steps, predict all three
+tasks, score the prediction JSONs with our evaluators, checkpoint
+round-trip, and the end-to-end pipeline."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hirest_tpu.config import HirestConfig
+from hirest_tpu.data.annotations import load_annotations
+from hirest_tpu.data.features import FeatureStore
+
+VAL_PATH = "/root/reference/data/splits/all_data_val.json"
+requires_data = pytest.mark.skipif(not os.path.exists(VAL_PATH),
+                                   reason="reference data not mounted")
+
+TINY_VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"w{i}" for i in range(60)]
+
+
+class TinyTokenizer:
+    """WordPiece-surface tokenizer over a closed toy vocab."""
+
+    def __init__(self):
+        self.vocab = {t: i for i, t in enumerate(TINY_VOCAB)}
+        self.inv = {i: t for t, i in self.vocab.items()}
+
+    def tokenize(self, text):
+        return [f"w{hash(w) % 60}" for w in text.lower().split()]
+
+    def convert_tokens_to_ids(self, toks):
+        return [self.vocab.get(t, 1) for t in toks]
+
+    def convert_ids_to_tokens(self, ids):
+        return [self.inv.get(int(i), "[UNK]") for i in ids]
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("trainer")
+    anns_all = load_annotations(VAL_PATH)
+    # tiny slice: 4 prompts
+    keys = list(anns_all)[:2]
+    anns = {k: anns_all[k] for k in keys}
+    data_dir = tmp / "splits"
+    data_dir.mkdir()
+    for split in ("train", "val", "test"):
+        with open(data_dir / f"all_data_{split}.json", "w") as f:
+            json.dump(anns, f)
+    vdir = tmp / "feats"
+    vdir.mkdir()
+    rng = np.random.default_rng(0)
+    for vids in anns.values():
+        for fname, a in vids.items():
+            if a["relevant"] and a["clip"]:
+                np.save(vdir / f"{fname}.npy",
+                        rng.normal(size=(round(a["v_duration"]), 1024)).astype(np.float32))
+    return {"tmp": tmp, "data_dir": str(data_dir), "vdir": str(vdir)}
+
+
+def make_trainer(env, **overrides):
+    from hirest_tpu.train.trainer import Trainer
+    from hirest_tpu.config import JointModelConfig, VisualEncoderConfig, DecoderConfig
+
+    model_cfg = JointModelConfig(
+        embed_dim=32,
+        visual=VisualEncoderConfig(hidden_size=32, num_hidden_layers=1,
+                                   num_attention_heads=4, intermediate_size=64),
+        decoder=DecoderConfig(vocab_size=len(TINY_VOCAB), hidden_size=32,
+                              num_decoder_layers=1, num_attention_heads=4,
+                              intermediate_size=64, max_target_embeddings=64),
+    )
+    cfg = HirestConfig(
+        data_dir=env["data_dir"], video_feature_dir=env["vdir"],
+        task_moment_retrieval=True, task_moment_segmentation=True,
+        task_step_captioning=True, train=True,
+        train_batch_size=2, eval_batch_size=2, epochs=1, lr=1e-4,
+        clip_grad_norm=5.0, num_beams=2, max_words=12,
+        moment_segmentation_max_iterations=3,
+        ckpt_dir=str(env["tmp"] / "ckpt"),
+        frame_buckets=(256, 512, 1024),
+        pretrained_dir=str(env["tmp"] / "nonexistent"),
+        **overrides,
+    )
+    rng = np.random.default_rng(1)
+
+    def fake_text_encoder(ids):
+        # deterministic per-row pseudo-embedding
+        return np.stack([np.sin(np.arange(1024) * (1 + row.sum() % 97) / 997.0)
+                         for row in np.asarray(ids)]).astype(np.float32)
+
+    return Trainer(cfg, text_encoder_fn=fake_text_encoder,
+                   wordpiece_tokenizer=TinyTokenizer(), verbose=False,
+                   model_config=model_cfg)
+
+
+@requires_data
+@pytest.mark.slow
+def test_trainer_end_to_end(env):
+    trainer = make_trainer(env)
+
+    # --- train one epoch (includes val predict + BEST checkpoint) ----------
+    results = trainer.train()
+    assert set(results) == {"moment_retrieval", "moment_segmentation", "step_captioning"}
+    assert os.path.exists(os.path.join(trainer.config.ckpt_dir, "BEST.msgpack"))
+
+    # --- prediction JSONs must score with our evaluators -------------------
+    from hirest_tpu.eval.metrics import (
+        compute_step_bound_scores, evaluate_moment_retrieval)
+
+    gt = load_annotations(os.path.join(env["data_dir"], "all_data_test.json"))
+    mr = results["moment_retrieval"]
+    res = evaluate_moment_retrieval(gt, mr)
+    assert "R@0.5" in res["all"]
+
+    ms = results["moment_segmentation"]
+    # build segmentation GT in the formatted-eval schema
+    seg_gt = {}
+    for prompt, vids in gt.items():
+        for v, a in vids.items():
+            if a["relevant"] and a["clip"] and a["steps"]:
+                seg_gt[v] = {"bounds": [s["absolute_bounds"] for s in a["steps"]]}
+    seg_pred = {v: ms[v] for v in seg_gt if v in ms}
+    if seg_pred:
+        res = compute_step_bound_scores(seg_gt, {v: seg_pred.get(v, {"bounds": []})
+                                                 for v in seg_gt})
+        assert "recall" in res["all"]
+
+    sc = results["step_captioning"]
+    some_video = next(k for k in sc if k != "loss")
+    assert isinstance(sc[some_video]["captions"][0]["sentence"], str)
+
+    # --- checkpoint round-trip ---------------------------------------------
+    before = trainer.predict(trainer.loaders["test"]["moment_retrieval"],
+                             "moment_retrieval")
+    trainer2 = make_trainer(env)
+    trainer2.load(os.path.join(trainer.config.ckpt_dir, "BEST"))
+    # optimizer state not set on fresh trainer; params should match BEST
+    after = trainer2.predict(trainer2.loaders["test"]["moment_retrieval"],
+                             "moment_retrieval")
+    # note: train() reloads BEST at the end, so predictions must agree
+    assert before.keys() == after.keys()
+    for prompt in before:
+        if prompt == "loss":
+            continue
+        for v in before[prompt]:
+            assert before[prompt][v]["bounds"] == after[prompt][v]["bounds"]
+
+
+@requires_data
+@pytest.mark.slow
+def test_end_to_end_pipeline(env):
+    from hirest_tpu.infer.pipeline import run_end_to_end
+
+    trainer = make_trainer(env)
+
+    # With random weights MR can emit start > end, which (as in the
+    # reference) degenerates the downstream stages to empty steps; order the
+    # pairs so stages 2-3 see sane moments.
+    raw_mr = trainer._predict_moment_retrieval
+
+    def ordered_mr(arrs):
+        return [sorted(p) if p[0] > p[1] else p for p in raw_mr(arrs)]
+
+    trainer._predict_moment_retrieval = ordered_mr
+    final = run_end_to_end(trainer)
+    out = os.path.join(trainer.config.ckpt_dir, "final_end_to_end_results.json")
+    assert os.path.exists(out)
+    # every relevant+clip video got bounds + steps with headings filled
+    filled = 0
+    for prompt, vids in final.items():
+        for v, a in vids.items():
+            if a.get("steps"):
+                for step in a["steps"]:
+                    assert "heading" in step and "absolute_bounds" in step
+                    filled += 1
+    assert filled > 0
