@@ -1,0 +1,128 @@
+"""EVA-CLIP visual feature extraction: frame JPEGs -> per-video features.
+
+Reference surface: extraction/video_features/extract_features.py
+(EVA-CLIP-g encode_image over sorted frames, batch-chunked, L2-normalized,
+one [n_seconds, 1024] file per video) and check_feature_size.py (truncate
+to the rounded duration).
+
+This is the throughput workhorse (BASELINE target: >= 10k frames/sec/chip):
+frames stream through a host-side decode/preprocess pool into fixed-size
+device batches for the jitted bf16 vision tower; output is .npy.
+Multi-process sharding uses the reference's `slice`/stride semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+def iter_video_frame_batches(frame_dir: Path, preprocess_fn: Callable,
+                             batch_size: int):
+    """Yields (frame_batch [n,H,W,3], count) over the sorted frames of one
+    video directory, final batch zero-padded to batch_size for one jit shape."""
+    from PIL import Image
+
+    paths = sorted(frame_dir.glob("frame_*.jpg"))
+    for i in range(0, len(paths), batch_size):
+        chunk = paths[i: i + batch_size]
+        imgs = np.stack([preprocess_fn(Image.open(p).convert("RGB"))
+                         for p in chunk])
+        n = len(chunk)
+        if n < batch_size:
+            imgs = np.concatenate(
+                [imgs, np.zeros((batch_size - n,) + imgs.shape[1:], imgs.dtype)])
+        yield imgs, n
+
+
+def extract_video_features(
+    frame_root: str,
+    out_dir: str,
+    encode_image_fn: Callable,
+    preprocess_fn: Callable,
+    batch_size: int = 64,
+    video_ids: Optional[Sequence[str]] = None,
+    normalize: bool = True,
+    process_id: int = 0,
+    num_processes: int = 1,
+    durations: Optional[dict] = None,
+) -> int:
+    """Encode every video's frames; writes {video_id}.npy [n_frames, 1024].
+
+    `durations` (video_id -> seconds) truncates features to round(duration)
+    — the check_feature_size repair folded into the pipeline.
+    """
+    frame_root, out_dir = Path(frame_root), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if video_ids is None:
+        video_ids = sorted(d.name for d in frame_root.iterdir() if d.is_dir())
+    video_ids = list(video_ids)[process_id::num_processes]
+
+    n_done = 0
+    for vid in video_ids:
+        out = out_dir / f"{vid}.npy"
+        if out.exists():
+            continue
+        feats = []
+        for imgs, n in iter_video_frame_batches(frame_root / vid,
+                                                preprocess_fn, batch_size):
+            emb = np.asarray(encode_image_fn(imgs), dtype=np.float32)[:n]
+            feats.append(emb)
+        if not feats:
+            continue
+        feats = np.concatenate(feats, axis=0)
+        if normalize:
+            feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+        if durations and vid in durations:
+            feats = feats[: round(durations[vid])]
+        np.save(out, feats)
+        n_done += 1
+    return n_done
+
+
+def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
+                     dtype_name: str = "bfloat16", use_pallas: bool = False):
+    """Build (encode_image_fn, preprocess_fn) around the jitted EVA vision
+    tower, loading converted weights when available."""
+    import jax
+    import jax.numpy as jnp
+
+    from hirest_tpu.models.eva_clip import EvaVisionTower, preprocess_image
+    from hirest_tpu.utils.init import shape_only_init
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    tower = EvaVisionTower(dtype=dtype, use_pallas=use_pallas)
+    ckpt = os.path.join(pretrained_dir, "eva_clip_psz14.pt")
+    if os.path.exists(ckpt):
+        from hirest_tpu.models.convert import convert_eva_vision, load_torch_ckpt
+
+        params = {"params": convert_eva_vision(load_torch_ckpt(ckpt))}
+        print(f"Loaded EVA-CLIP vision tower from {ckpt}")
+    else:
+        params = shape_only_init(tower, jnp.zeros((1, 224, 224, 3), dtype))
+        print(f"WARNING: {ckpt} not found - vision tower is random-init")
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+    apply = jax.jit(lambda p, im: tower.apply(p, im))
+    return (lambda im: apply(params, jnp.asarray(im, dtype))), preprocess_image
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--frame_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--pretrained_dir", default="./pretrained_weights")
+    p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--use_pallas", action="store_true")
+    a = p.parse_args()
+    enc, pre = make_eva_encoder(a.pretrained_dir, use_pallas=a.use_pallas)
+    n = extract_video_features(a.frame_dir, a.out_dir, enc, pre, a.batch_size,
+                               process_id=a.process_id,
+                               num_processes=a.num_processes)
+    print(f"encoded {n} videos")

@@ -89,6 +89,7 @@ class VisionBlock(nn.Module):
     head_dim: int
     mlp_hidden: int
     norm_eps: float = 1e-6
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,7 +97,7 @@ class VisionBlock(nn.Module):
         h = nn.LayerNorm(epsilon=self.norm_eps, name="norm1", dtype=self.dtype)(x)
         h = MultiHeadAttention(num_heads=self.heads, head_dim=self.head_dim,
                                qkv_mode="fused_qv_bias", dtype=self.dtype,
-                               name="attn")(h)
+                               use_pallas=self.use_pallas, name="attn")(h)
         x = x + h
         h = nn.LayerNorm(epsilon=self.norm_eps, name="norm2", dtype=self.dtype)(x)
         h = nn.Dense(self.mlp_hidden, name="mlp_fc1", dtype=self.dtype)(h)
@@ -109,6 +110,7 @@ class EvaVisionTower(nn.Module):
     """ViT-g/14 image encoder: [B, 224, 224, 3] (NHWC) -> [B, 1024]."""
 
     config: EvaVisionConfig = EvaVisionConfig()
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -134,6 +136,7 @@ class EvaVisionTower(nn.Module):
         for i in range(cfg.layers):
             x = VisionBlock(heads=cfg.num_heads, head_dim=cfg.head_width,
                             mlp_hidden=cfg.mlp_hidden, norm_eps=cfg.norm_eps,
+                            use_pallas=self.use_pallas,
                             dtype=self.dtype, name=f"block_{i}")(x)
 
         x = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm", dtype=self.dtype)(x)

@@ -77,6 +77,7 @@ class MultiHeadAttention(nn.Module):
     qkv_mode: str = "separate"           # "separate" | "fused" | "fused_qv_bias"
     use_out_proj: bool = True            # BERT-style blocks project in their
                                          # residual "output" sublayer instead
+    use_pallas: bool = False             # VMEM-fused attention kernel (TPU)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -112,7 +113,12 @@ class MultiHeadAttention(nn.Module):
         q = split_heads(q, self.num_heads)
         k = split_heads(k, self.num_heads)
         v = split_heads(v, self.num_heads)
-        out = dot_product_attention(q, k, v, bias, scale, dtype=self.dtype)
+        if self.use_pallas and bias is None:
+            from hirest_tpu.ops.attention import fused_attention
+
+            out = fused_attention(q, k, v, scale).astype(self.dtype)
+        else:
+            out = dot_product_attention(q, k, v, bias, scale, dtype=self.dtype)
         out = merge_heads(out)
         if not self.use_out_proj:
             return out

@@ -112,8 +112,8 @@ class Trainer:
                                 jnp.zeros((1, 77), jnp.int32))
             if self.verbose:
                 print(f"WARNING: {ckpt} not found - EVA text tower is random-init")
-        apply = jax.jit(lambda ids: tower.apply(params, ids))
-        return lambda ids: apply(jnp.asarray(ids))
+        apply = jax.jit(lambda p, ids: tower.apply(p, ids))
+        return lambda ids: apply(params, jnp.asarray(ids))
 
     def _init_params(self):
         cfg = self.model_cfg

@@ -1,0 +1,45 @@
+"""Pallas fused-attention correctness (interpret mode on CPU) vs XLA."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hirest_tpu.ops.attention import _xla_attention, fused_attention
+
+
+@pytest.mark.parametrize("shape", [(2, 4, 17, 8), (1, 2, 32, 24), (2, 16, 37, 88)])
+def test_pallas_matches_xla(shape):
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+               for _ in range(3))
+    scale = shape[-1] ** -0.5
+    want = np.asarray(_xla_attention(q, k, v, scale))
+    got = np.asarray(fused_attention(q, k, v, scale, use_pallas=True,
+                                     interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_vision_block_pallas_flag_matches():
+    from hirest_tpu.config import EvaVisionConfig
+    from hirest_tpu.models.eva_clip import EvaVisionTower
+    import jax
+
+    cfg = EvaVisionConfig(image_size=28, patch_size=14, layers=1, width=32,
+                          head_width=8, mlp_ratio=2.0, embed_dim=16)
+    imgs = jnp.asarray(np.random.default_rng(1).normal(size=(2, 28, 28, 3)),
+                       jnp.float32)
+    base = EvaVisionTower(cfg)
+    params = base.init(jax.random.PRNGKey(0), imgs)
+    want = np.asarray(base.apply(params, imgs))
+
+    # same params, pallas path (interpret on CPU via monkeypatched default)
+    import hirest_tpu.ops.attention as A
+
+    orig = A._pallas_attention
+    A._pallas_attention = lambda q, k, v, s, interpret=False: orig(q, k, v, s, interpret=True)
+    try:
+        got = np.asarray(EvaVisionTower(cfg, use_pallas=True).apply(params, imgs))
+    finally:
+        A._pallas_attention = orig
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
