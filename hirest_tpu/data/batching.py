@@ -88,7 +88,9 @@ def collate(
         batch["prev_boundary_mask"] = stack_mask("prev_boundary_mask")
 
     if feats is not None:
-        batch["vis_feats"] = np.stack([_pad_to(f[:bucket], bucket) for f in feats])
+        from hirest_tpu import native
+
+        batch["vis_feats"] = native.pack_batch(feats, bucket)
         # actual feature length can exceed n_frames metadata; mask tracks features
         for i, f in enumerate(feats):
             n = min(f.shape[0], bucket)
@@ -97,7 +99,7 @@ def collate(
                 vm[:n] = 1
                 batch["video_mask"][i] = vm
         if asr is not None:
-            batch["asr_feats"] = np.stack([_pad_to(a[:bucket], bucket) for a in asr])
+            batch["asr_feats"] = native.pack_batch(asr, bucket)
 
     for key in ("moment_retrieval_start_target", "moment_retrieval_end_target",
                 "moment_segmentation_target"):

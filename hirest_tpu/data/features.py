@@ -16,8 +16,9 @@ from typing import Optional
 
 import numpy as np
 
+from hirest_tpu import native
 from hirest_tpu.data.srt import load_srt
-from hirest_tpu.timeline import resample_frames, warp_segments
+from hirest_tpu.timeline import resample_frames
 
 
 def _load_feature_file(path: Path) -> np.ndarray:
@@ -86,7 +87,7 @@ class FeatureStore:
         (hirest_dataset.py:359-405)."""
         video_id = fname.replace(".mp4", "")
         feats, bounds = self._load_asr(video_id)
-        warped = warp_segments(feats, list(bounds), n_video_frames)
+        warped = native.warp_segments(feats, list(bounds), n_video_frames)
         if n_model_frames > 0 and warped.shape[0] != n_model_frames:
             warped = resample_frames(warped, n_model_frames)
         return warped

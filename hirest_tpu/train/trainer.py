@@ -41,7 +41,7 @@ from hirest_tpu.data.multitask import MultitaskSchedule
 from hirest_tpu.infer.beam import beam_search
 from hirest_tpu.infer.segmentation import iterative_segmentation
 from hirest_tpu.models.joint import MomentModel
-from hirest_tpu.timeline import trim_to_moment
+from hirest_tpu.native import trim_to_moment
 from hirest_tpu.tokenizers import clip_tokenize
 from hirest_tpu.train import losses as L
 from hirest_tpu.train.formatting import (
