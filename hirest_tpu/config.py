@@ -183,6 +183,8 @@ class HirestConfig:
     mesh_shape: Optional[str] = None   # e.g. "data:8" or "data:4,model:2"
     pretrained_dir: str = "./pretrained_weights"
     use_pallas_attention: bool = False
+    trace_dir: Optional[str] = None       # jax.profiler trace output
+    metrics_log: Optional[str] = None     # JSONL scalar-metrics sink
 
     # -- derived --------------------------------------------------------
     @property
@@ -310,5 +312,9 @@ def get_parser() -> argparse.ArgumentParser:
                         help='device mesh, e.g. "data:8" or "data:4,model:2"')
     parser.add_argument("--pretrained_dir", type=str, default="./pretrained_weights")
     parser.add_argument("--use_pallas_attention", action="store_true")
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the first train step")
+    parser.add_argument("--metrics_log", type=str, default=None,
+                        help="append scalar metrics as JSONL to this path")
 
     return parser

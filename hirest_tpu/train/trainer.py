@@ -51,6 +51,7 @@ from hirest_tpu.train.formatting import (
 )
 from hirest_tpu.train.optim import make_optimizer
 from hirest_tpu.utils.meters import LossMeter
+from hirest_tpu.utils.profiling import MetricsLogger, PhaseTimer, trace
 
 BOS_ID, EOS_ID = 101, 102  # BERT [CLS] / [SEP]
 
@@ -276,18 +277,32 @@ class Trainer:
 
         best_valid, best_epoch = float("inf"), 0
         meter = LossMeter()
+        timer = PhaseTimer()
+        metrics = MetricsLogger(cfg.metrics_log)
+        traced = False
 
         for epoch in range(self.start_epoch, self.start_epoch + cfg.epochs):
             schedule.set_epoch(epoch)
-            for batch in schedule:
+            it = iter(schedule)
+            while True:
+                with timer.phase("data"):
+                    batch = next(it, None)
+                if batch is None:
+                    break
                 task = batch["tasks"][0]
-                arrs = self._prepare(batch, task)
+                with timer.phase("prepare"):
+                    arrs = self._prepare(batch, task)
                 step_fn = self._get_train_step(task)
-                self.params, self.opt_state, loss = step_fn(
-                    self.params, self.opt_state, arrs)
+                with timer.phase("train_step"), trace(None if traced else cfg.trace_dir):
+                    traced = True
+                    self.params, self.opt_state, loss = step_fn(
+                        self.params, self.opt_state, arrs)
                 self.step += 1
                 if self.verbose:
                     meter.update(float(loss))
+                if self.step % 50 == 0:
+                    metrics.log(self.step, epoch=epoch, task=task,
+                                loss=float(loss))
 
             val_loss = 0.0
             epoch_results = {}
@@ -299,9 +314,14 @@ class Trainer:
                 if has_target and "loss" in res:
                     val_loss += res["loss"]
 
+            metrics.log(self.step, epoch=epoch, train_loss=meter.val,
+                        val_loss=val_loss, **{f"time_{k}": v["total_s"]
+                                              for k, v in timer.report().items()})
             if self.verbose:
                 print(f"Epoch {epoch} | train loss {meter.val:.4f} | "
-                      f"val loss {val_loss:.4f}")
+                      f"val loss {val_loss:.4f} | phases {timer.report()}")
+            timer.reset()
+            if self.verbose:
                 for task, res in epoch_results.items():
                     path = os.path.join(cfg.ckpt_dir,
                                         f"{task}_epoch_{str(epoch).zfill(3)}.json")
@@ -360,6 +380,18 @@ class Trainer:
             fnames.extend(batch["video_fnames"])
             prompts.extend(batch["prompts"])
             durations.extend(batch["video_duration"])
+
+        if jax.process_count() > 1:
+            from hirest_tpu.parallel.collectives import (
+                allgather_objects, merge_prediction_lists)
+
+            merged = merge_prediction_lists(allgather_objects({
+                "predictions": predictions, "targets": targets,
+                "fnames": fnames, "prompts": prompts, "durations": durations,
+                "losses": losses}))
+            predictions, targets = merged["predictions"], merged["targets"]
+            fnames, prompts = merged["fnames"], merged["prompts"]
+            durations, losses = merged["durations"], merged["losses"]
 
         loss = float(np.mean(losses)) if losses else None
         if task == "moment_retrieval":
