@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from hirest_tpu.config import EvaTextConfig, EvaVisionConfig
 from hirest_tpu.models.layers import (
+    ACTIVATIONS,
     MultiHeadAttention,
     causal_mask,
     gelu,
@@ -34,11 +35,13 @@ from hirest_tpu.models.layers import (
 
 
 class TextBlock(nn.Module):
-    """Pre-LN residual attention block (eva_model.py:110-159)."""
+    """Pre-LN residual attention block (eva_model.py:110-159); also the
+    OpenAI-CLIP block shape when act='quick_gelu'."""
 
     heads: int
     mlp_ratio: float = 4.0
     norm_eps: float = 1e-5
+    act: str = "gelu"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -50,7 +53,7 @@ class TextBlock(nn.Module):
         h = nn.LayerNorm(epsilon=self.norm_eps, name="ln_2", dtype=self.dtype)(x)
         width = x.shape[-1]
         h = nn.Dense(int(width * self.mlp_ratio), name="mlp_c_fc", dtype=self.dtype)(h)
-        h = gelu(h)
+        h = ACTIVATIONS[self.act](h)
         h = nn.Dense(width, name="mlp_c_proj", dtype=self.dtype)(h)
         return x + h
 

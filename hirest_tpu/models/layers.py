@@ -27,6 +27,14 @@ def gelu(x):
     return nn.gelu(x, approximate=False)
 
 
+def quick_gelu(x):
+    """OpenAI CLIP's QuickGELU: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {"gelu": gelu, "quick_gelu": quick_gelu}
+
+
 def additive_mask(mask: jnp.ndarray, dtype=jnp.float32, neg: float = -10000.0) -> jnp.ndarray:
     """[B, Tk] {0,1} mask -> [B, 1, 1, Tk] additive bias ((1-m) * neg)."""
     return ((1.0 - mask.astype(dtype)) * neg)[:, None, None, :]

@@ -282,6 +282,7 @@ class Trainer:
         traced = False
 
         for epoch in range(self.start_epoch, self.start_epoch + cfg.epochs):
+            self.epoch = epoch
             schedule.set_epoch(epoch)
             it = iter(schedule)
             while True:
@@ -505,7 +506,8 @@ class Trainer:
 
         os.makedirs(self.config.ckpt_dir, exist_ok=True)
         path = os.path.join(self.config.ckpt_dir, f"{name}.msgpack")
-        state = {"params": self.params, "step": self.step}
+        state = {"params": self.params, "step": self.step,
+                 "epoch": getattr(self, "epoch", 0)}
         if self.opt_state is not None:
             state["opt_state"] = self.opt_state
         with open(path, "wb") as f:
@@ -520,12 +522,13 @@ class Trainer:
             path = path + ".msgpack"
         with open(path, "rb") as f:
             data = f.read()
-        template = {"params": self.params, "step": 0}
+        template = {"params": self.params, "step": 0, "epoch": 0}
         if self.opt_state is not None:
             template["opt_state"] = self.opt_state
         state = serialization.from_bytes(template, data)
         self.params = state["params"]
         self.step = int(state["step"])
+        self.start_epoch = int(state.get("epoch", 0))
         if self.opt_state is not None and "opt_state" in state:
             self.opt_state = state["opt_state"]
         if self.verbose:
