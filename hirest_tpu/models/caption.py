@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -101,49 +102,134 @@ class VisualEncoder(nn.Module):
         return x
 
 
+class AttnProj(nn.Module):
+    """q/k/v projections with the same param layout as the joint
+    MultiHeadAttention (Dense children named query/key/value), exposed
+    separately so the KV-cached decode path can reuse the k/v weights."""
+
+    inner: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.query = nn.Dense(self.inner, dtype=self.dtype)
+        self.key = nn.Dense(self.inner, dtype=self.dtype)
+        self.value = nn.Dense(self.inner, dtype=self.dtype)
+
+    def __call__(self, q_in, kv_in):
+        return self.query(q_in), self.key(kv_in), self.value(kv_in)
+
+
 class DecoderLayer(nn.Module):
     heads: int
+    hidden_size: int
     intermediate_size: int
     norm_eps: float = 1e-12
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.slf_attn = AttnProj(self.hidden_size, dtype=self.dtype)
+        self.slf_output = BertSelfOutput(norm_eps=self.norm_eps, dtype=self.dtype)
+        self.enc_attn = AttnProj(self.hidden_size, dtype=self.dtype)
+        self.enc_output = BertSelfOutput(norm_eps=self.norm_eps, dtype=self.dtype)
+        self.ffn = BertFfn(self.intermediate_size, norm_eps=self.norm_eps,
+                           dtype=self.dtype)
+
+    def _attend(self, q, k, v, bias):
+        from hirest_tpu.models.layers import (dot_product_attention, merge_heads,
+                                              split_heads)
+
+        hd = self.hidden_size // self.heads
+        out = dot_product_attention(split_heads(q, self.heads),
+                                    split_heads(k, self.heads),
+                                    split_heads(v, self.heads),
+                                    bias, hd ** -0.5, dtype=self.dtype)
+        return merge_heads(out)
+
     def __call__(self, x, encoder_out, self_bias, cross_bias=None):
-        att = MultiHeadAttention(num_heads=self.heads, use_out_proj=False,
-                                 dtype=self.dtype, name="slf_attn")(x, bias=self_bias)
-        x = BertSelfOutput(norm_eps=self.norm_eps, dtype=self.dtype,
-                           name="slf_output")(att, x)
-        att = MultiHeadAttention(num_heads=self.heads, use_out_proj=False,
-                                 dtype=self.dtype, name="enc_attn")(x, kv_in=encoder_out, bias=cross_bias)
-        x = BertSelfOutput(norm_eps=self.norm_eps, dtype=self.dtype,
-                           name="enc_output")(att, x)
-        return BertFfn(self.intermediate_size, norm_eps=self.norm_eps,
-                       dtype=self.dtype, name="ffn")(x)
+        q, k, v = self.slf_attn(x, x)
+        att = self._attend(q, k, v, self_bias)
+        x = self.slf_output(att, x)
+        q, k, v = self.enc_attn(x, encoder_out)
+        att = self._attend(q, k, v, cross_bias)
+        x = self.enc_output(att, x)
+        return self.ffn(x)
+
+    def step(self, x, pos, enc_k, enc_v, cache_k, cache_v):
+        """One-token decode: x [N, 1, H], pos scalar int, enc_{k,v}
+        precomputed cross-attention projections [N, T, H], cache_{k,v}
+        [N, L, H] self-attention caches. Returns (y [N,1,H], cache_k, cache_v)."""
+        q, k, v = self.slf_attn(x, x)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, pos, 0))
+        # mask out cache slots beyond pos (causal over the filled prefix)
+        length = cache_k.shape[1]
+        key_ids = jnp.arange(length)[None, None, None, :]
+        bias = jnp.where(key_ids <= pos, 0.0, -10000.0)
+        att = self._attend(q, cache_k, cache_v, bias)
+        x = self.slf_output(att, x)
+        q = self.enc_attn.query(x)
+        att = self._attend(q, enc_k, enc_v, None)
+        x = self.enc_output(att, x)
+        return self.ffn(x), cache_k, cache_v
+
+    def cross_kv(self, encoder_out):
+        return self.enc_attn.key(encoder_out), self.enc_attn.value(encoder_out)
 
 
 class CaptionDecoder(nn.Module):
     """Teacher-forced decode: token ids [B, L] + encoder outs [B, T, H]
     -> vocab logits [B, L, V]. Weights of the classifier are tied to the
-    word embedding table (module_decoder.py:167-183,294-302)."""
+    word embedding table (module_decoder.py:167-183,294-302).
+
+    `decode_step` is the KV-cached single-token path used by beam search:
+    cross-attention K/V are projected once per sequence, self-attention K/V
+    accumulate in fixed [N, L, H] caches — O(1) work per emitted token
+    instead of the reference's full-prefix re-decode per step
+    (clip4caption/train.py:559-567)."""
 
     config: DecoderConfig = DecoderConfig()
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
     dropout_rate: float = 0.1
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.word_embeddings = self.param(
+            "word_embeddings", nn.initializers.normal(0.02),
+            (cfg.vocab_size, cfg.hidden_size))
+        self.position_embeddings = self.param(
+            "position_embeddings", nn.initializers.normal(0.02),
+            (cfg.max_target_embeddings, cfg.hidden_size))
+        self.emb_LayerNorm = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=self.dtype)
+        self.dropout = nn.Dropout(self.dropout_rate, deterministic=self.deterministic)
+        self.layers = [DecoderLayer(heads=cfg.num_attention_heads,
+                                    hidden_size=cfg.hidden_size,
+                                    intermediate_size=cfg.intermediate_size,
+                                    norm_eps=cfg.norm_eps, dtype=self.dtype,
+                                    name=f"layer_{i}")
+                       for i in range(cfg.num_decoder_layers)]
+        self.cls_transform = nn.Dense(cfg.hidden_size, dtype=self.dtype)
+        self.cls_LayerNorm = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=self.dtype)
+        self.cls_bias = self.param("cls_bias", nn.initializers.zeros,
+                                   (cfg.vocab_size,))
+
+    def _classify(self, h):
+        h = self.cls_transform(h)
+        h = gelu(h)
+        h = self.cls_LayerNorm(h)
+        logits = h @ self.word_embeddings.T.astype(self.dtype) \
+            + self.cls_bias.astype(self.dtype)
+        return logits.astype(jnp.float32)
+
     def __call__(self, input_ids: jnp.ndarray, encoder_out: jnp.ndarray,
                  answer_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.config
         b, length = input_ids.shape
 
-        word_emb = self.param("word_embeddings", nn.initializers.normal(0.02),
-                              (cfg.vocab_size, cfg.hidden_size))
-        pos_emb = self.param("position_embeddings", nn.initializers.normal(0.02),
-                             (cfg.max_target_embeddings, cfg.hidden_size))
-        x = word_emb[input_ids].astype(self.dtype) + pos_emb[None, :length].astype(self.dtype)
-        x = nn.LayerNorm(epsilon=cfg.norm_eps, name="emb_LayerNorm", dtype=self.dtype)(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=self.deterministic)(x)
+        x = self.word_embeddings[input_ids].astype(self.dtype) \
+            + self.position_embeddings[None, :length].astype(self.dtype)
+        x = self.emb_LayerNorm(x)
+        x = self.dropout(x)
 
         # Reference mask composition (module_decoder.py:389-396): causal triu
         # OR'd with the inverted answer mask, then scaled by -10000.
@@ -154,16 +240,30 @@ class CaptionDecoder(nn.Module):
             self_mask = jnp.minimum(inv + self_mask, 1.0)
         self_bias = self_mask * -10000.0
 
-        for i in range(cfg.num_decoder_layers):
-            x = DecoderLayer(heads=cfg.num_attention_heads,
-                             intermediate_size=cfg.intermediate_size,
-                             norm_eps=cfg.norm_eps, dtype=self.dtype,
-                             name=f"layer_{i}")(x, encoder_out, self_bias)
+        for layer in self.layers:
+            x = layer(x, encoder_out, self_bias)
+        return self._classify(x)
 
-        # Classifier: transform (dense + gelu + LN) then tied-embedding matmul
-        h = nn.Dense(cfg.hidden_size, name="cls_transform", dtype=self.dtype)(x)
-        h = gelu(h)
-        h = nn.LayerNorm(epsilon=cfg.norm_eps, name="cls_LayerNorm", dtype=self.dtype)(h)
-        cls_bias = self.param("cls_bias", nn.initializers.zeros, (cfg.vocab_size,))
-        logits = h @ word_emb.T.astype(self.dtype) + cls_bias.astype(self.dtype)
-        return logits.astype(jnp.float32)
+    # -- KV-cached decoding ------------------------------------------------
+
+    def init_cache(self, batch: int, max_len: int):
+        cfg = self.config
+        shape = (batch, max_len, cfg.hidden_size)
+        return tuple((jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype))
+                     for _ in self.layers)
+
+    def cross_kv(self, encoder_out):
+        return tuple(layer.cross_kv(encoder_out) for layer in self.layers)
+
+    def decode_step(self, tok_ids: jnp.ndarray, pos, cross_kv, cache):
+        """tok_ids [N] tokens at position `pos` -> (logits [N, V], cache)."""
+        x = self.word_embeddings[tok_ids].astype(self.dtype)[:, None, :] \
+            + jax.lax.dynamic_slice_in_dim(
+                self.position_embeddings, pos, 1, axis=0)[None].astype(self.dtype)
+        x = self.emb_LayerNorm(x)
+
+        new_cache = []
+        for layer, (enc_k, enc_v), (ck, cv) in zip(self.layers, cross_kv, cache):
+            x, ck, cv = layer.step(x, pos, enc_k, enc_v, ck, cv)
+            new_cache.append((ck, cv))
+        return self._classify(x)[:, 0], tuple(new_cache)

@@ -467,6 +467,8 @@ class Trainer:
         key = ("pred", "step_captioning", b, beam)
         if key not in self._jit_cache:
             max_words = cfg.max_words
+            from hirest_tpu.infer.beam import beam_search_cached
+            from hirest_tpu.models.caption import CaptionDecoder
 
             @jax.jit
             def decode(params, arrs):
@@ -475,13 +477,22 @@ class Trainer:
                                        method=MomentModel.caption_encode)
                 vis_rpt = jnp.repeat(vis, beam, axis=0)
 
-                def logits_fn(ids, t):
-                    full = self.model.apply(params, vis_rpt, ids[:, :max_words],
-                                            method=MomentModel.caption_logits)
-                    return full[:, t]
+                dec_params = {"params": params["params"]["decoder"]}
+                dec = CaptionDecoder(self.model_cfg.decoder, dtype=self.model.dtype)
+                cross_kv = dec.apply(dec_params, vis_rpt,
+                                     method=CaptionDecoder.cross_kv)
+                cache = dec.apply(dec_params, b * beam, max_words + 1,
+                                  method=CaptionDecoder.init_cache)
 
-                return beam_search(logits_fn, b, beam, max_words,
-                                   self.bos_id, self.eos_id)
+                def step_fn(last, t, cache):
+                    return dec.apply(dec_params, last, t, cross_kv, cache,
+                                     method=CaptionDecoder.decode_step)
+
+                def gather_fn(cache, src):
+                    return jax.tree_util.tree_map(lambda x: x[src], cache)
+
+                return beam_search_cached(step_fn, gather_fn, cache, b, beam,
+                                          max_words, self.bos_id, self.eos_id)
 
             self._jit_cache[key] = decode
 
