@@ -42,6 +42,40 @@ def get_eval_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _try_build_clipscore(frame_dir: str, pretrained_dir: str = "./pretrained_weights"):
+    """CLIPScore plugin backed by the JAX CLIP ViT-B/32 (reference
+    evaluate.py:204-268 uses torch clip ViT-B/32). Returns None when the
+    checkpoint is unavailable."""
+    ckpt = os.path.join(pretrained_dir, "ViT-B-32.pt")
+    if not os.path.exists(ckpt):
+        print(f"CLIPScore disabled: {ckpt} not found")
+        return None
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from hirest_tpu.eval.captions import make_clipscore_fn
+    from hirest_tpu.models.convert import load_torch_ckpt
+    from hirest_tpu.models.eva_clip import preprocess_image
+    from hirest_tpu.models.openai_clip import (
+        ClipTextTower, ClipVisionTower, convert_clip_text, convert_clip_vision)
+    from hirest_tpu.tokenizers import clip_tokenize
+
+    sd = load_torch_ckpt(ckpt)
+    text_tower, vision_tower = ClipTextTower(), ClipVisionTower()
+    tp = {"params": convert_clip_text(sd)}
+    vp = {"params": convert_clip_vision(sd)}
+    t_apply = jax.jit(lambda p, ids: text_tower.apply(p, ids))
+    v_apply = jax.jit(lambda p, im: vision_tower.apply(p, im))
+
+    return make_clipscore_fn(
+        frame_dir,
+        encode_image_fn=lambda im: v_apply(vp, jnp.asarray(im)),
+        encode_text_fn=lambda texts: t_apply(tp, jnp.asarray(clip_tokenize(texts))),
+        preprocess_fn=lambda path: preprocess_image(Image.open(path)),
+    )
+
+
 def main(argv=None) -> dict:
     args = get_eval_parser().parse_args(argv)
     print(args)
@@ -67,6 +101,11 @@ def main(argv=None) -> dict:
         print("Please see the 'examples_for_evaluation_folder' for input examples")
         return {}
 
+    if args.task == "step_captioning" and args.frame_dir != "None":
+        clipscore_fn = _try_build_clipscore(args.frame_dir)
+    else:
+        clipscore_fn = None
+
     if args.task == "video_retrieval":
         result = evaluate_video_retrieval(args.gt_data or splits_gt, pred_data, categories)
     elif args.task == "moment_retrieval":
@@ -76,7 +115,8 @@ def main(argv=None) -> dict:
     elif args.task == "step_captioning":
         if not args.print_per_category:
             categories = Categories.single()
-        result = evaluate_step_captions(args.gt_data or moment_gt, pred_data, categories)
+        result = evaluate_step_captions(args.gt_data or moment_gt, pred_data,
+                                        categories, clipscore_fn=clipscore_fn)
     else:
         result = {"all": {}}
 

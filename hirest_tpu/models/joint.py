@@ -69,6 +69,8 @@ class MomentModel(nn.Module):
         b, t, _ = video_feats.shape
         if video_mask is None:
             video_mask = jnp.ones((b, t), dtype=jnp.int32)
+        if moment_mask is None:
+            moment_mask = jnp.ones((b, t), dtype=jnp.int32)
 
         video = self.clip_g_map(video_feats.astype(self.dtype))
         video = self.normalize_video(video)
