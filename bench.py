@@ -59,7 +59,103 @@ def bench_eva_vision(batch_size: int = 64, iters: int = 8, warmup: int = 2,
     return batch_size * iters / elapsed
 
 
+def bench_caption_latency(batch_size: int = 1, beam: int = 3, max_words: int = 48,
+                          iters: int = 20) -> float:
+    """p50 step-caption decode latency (ms): KV-cached beam over the real
+    decoder/encoder configuration. Secondary tracked metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from hirest_tpu.config import JointModelConfig
+    from hirest_tpu.infer.beam import beam_search_cached
+    from hirest_tpu.models.caption import CaptionDecoder
+    from hirest_tpu.models.joint import MomentModel
+    from hirest_tpu.utils.init import shape_only_init
+
+    cfg = JointModelConfig()
+    model = MomentModel(cfg)
+    b = batch_size
+    video = jnp.zeros((b, cfg.max_frames_step_captioning, 1024), jnp.float32)
+    text = jnp.zeros((b, 1024), jnp.float32)
+    params = shape_only_init(model, video, text,
+                             jnp.zeros((b, max_words), jnp.int32),
+                             method=MomentModel.init_all)
+    dec = CaptionDecoder(cfg.decoder)
+
+    @jax.jit
+    def decode(params, video, text):
+        vis = model.apply(params, video, text, method=MomentModel.caption_encode)
+        vis_rpt = jnp.repeat(vis, beam, axis=0)
+        dp = {"params": params["params"]["decoder"]}
+        cross_kv = dec.apply(dp, vis_rpt, method=CaptionDecoder.cross_kv)
+        cache = dec.apply(dp, b * beam, max_words + 1,
+                          method=CaptionDecoder.init_cache)
+
+        def step_fn(last, t, cache):
+            return dec.apply(dp, last, t, cross_kv, cache,
+                             method=CaptionDecoder.decode_step)
+
+        def gather_fn(cache, src):
+            return jax.tree_util.tree_map(lambda x: x[src], cache)
+
+        return beam_search_cached(step_fn, gather_fn, cache, b, beam,
+                                  max_words, 101, 102)
+
+    np.asarray(decode(params, video, text)[0])  # compile
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        np.asarray(decode(params, video, text)[0])
+        times.append(time.perf_counter() - start)
+    return float(np.percentile(times, 50) * 1000)
+
+
+def bench_retrieval_qps(n_prompts: int = 64, n_videos: int = 4282,
+                        iters: int = 5) -> float:
+    """End-to-end retrieval scoring queries/sec: text encode (EVA text tower)
+    + [P,1024]x[1024,V] scoring. Secondary tracked metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from hirest_tpu.models.eva_clip import EvaTextTower
+    from hirest_tpu.utils.init import shape_only_init
+
+    tower = EvaTextTower(dtype=jnp.bfloat16)
+    ids = jnp.zeros((n_prompts, 77), jnp.int32).at[:, 0].set(49406).at[:, 1].set(49407)
+    params = shape_only_init(tower, ids)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    video_embeds = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n_videos, 1024)), jnp.bfloat16)
+
+    @jax.jit
+    def score(params, ids, video_embeds):
+        t = tower.apply(params, ids)
+        t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+        return t @ video_embeds.T.astype(jnp.float32)
+
+    np.asarray(score(params, ids, video_embeds))  # compile
+    start = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = score(params, ids, video_embeds)
+    np.asarray(out)
+    return n_prompts * iters / (time.perf_counter() - start)
+
+
 def main():
+    if "--latency" in sys.argv:
+        p50 = bench_caption_latency()
+        print(json.dumps({"metric": "step_caption_p50_latency",
+                          "value": round(p50, 2), "unit": "ms",
+                          "vs_baseline": 0.0}))
+        return
+    if "--vr" in sys.argv:
+        qps = bench_retrieval_qps()
+        print(json.dumps({"metric": "video_retrieval_queries_per_sec",
+                          "value": round(qps, 2), "unit": "queries/sec",
+                          "vs_baseline": 0.0}))
+        return
+
     batches = (128,)  # single size: each compile costs ~2-3 min via the tunnel
     # Pallas fused attention measured +12% over XLA (173 vs 154 fps) -> default on
     use_pallas = "--no-pallas" not in sys.argv
