@@ -185,6 +185,7 @@ class HirestConfig:
     use_pallas_attention: bool = False
     trace_dir: Optional[str] = None       # jax.profiler trace output
     metrics_log: Optional[str] = None     # JSONL scalar-metrics sink
+    save_every_steps: int = 0             # periodic LAST checkpoint (preemption safety)
 
     # -- derived --------------------------------------------------------
     @property
@@ -316,5 +317,7 @@ def get_parser() -> argparse.ArgumentParser:
                         help="write a jax.profiler trace of the first train step")
     parser.add_argument("--metrics_log", type=str, default=None,
                         help="append scalar metrics as JSONL to this path")
+    parser.add_argument("--save_every_steps", type=int, default=0,
+                        help="save a LAST checkpoint every N steps (0 = per epoch only)")
 
     return parser

@@ -118,16 +118,27 @@ class MultiHeadAttention(nn.Module):
         else:
             raise ValueError(self.qkv_mode)
 
-        q = split_heads(q, self.num_heads)
-        k = split_heads(k, self.num_heads)
-        v = split_heads(v, self.num_heads)
-        if self.use_pallas and bias is None:
+        if self.use_pallas and bias is None and head_dim % 128 == 0:
+            # packed-layout kernel: heads sliced in the grid, no transposes.
+            # Mosaic can only block the lane dim at 128-multiples, so this
+            # path needs aligned head widths.
+            from hirest_tpu.ops.attention import fused_attention_packed
+
+            out = fused_attention_packed(q, k, v, scale,
+                                         self.num_heads).astype(self.dtype)
+        elif self.use_pallas and bias is None:
             from hirest_tpu.ops.attention import fused_attention
 
-            out = fused_attention(q, k, v, scale).astype(self.dtype)
+            q = split_heads(q, self.num_heads)
+            k = split_heads(k, self.num_heads)
+            v = split_heads(v, self.num_heads)
+            out = merge_heads(fused_attention(q, k, v, scale).astype(self.dtype))
         else:
+            q = split_heads(q, self.num_heads)
+            k = split_heads(k, self.num_heads)
+            v = split_heads(v, self.num_heads)
             out = dot_product_attention(q, k, v, bias, scale, dtype=self.dtype)
-        out = merge_heads(out)
+            out = merge_heads(out)
         if not self.use_out_proj:
             return out
         return dense(out_dim, "out")(out)

@@ -84,7 +84,19 @@ class Trainer:
             config.video_feature_dir or None, config.asr_dir, config.asr_feature_dir)
         self.buckets = tuple(config.frame_buckets)
 
+        self.mesh = None
+        if config.mesh_shape:
+            from hirest_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(config.mesh_shape)
+            if self.verbose:
+                print(f"mesh: {dict(self.mesh.shape)}")
+
         self.params = params if params is not None else self._init_params()
+        if self.mesh is not None:
+            from hirest_tpu.parallel.mesh import apply_param_shardings
+
+            self.params = apply_param_shardings(self.params, self.mesh)
         self.tx = None
         self.opt_state = None
         self.step = 0
@@ -256,6 +268,15 @@ class Trainer:
                     arrs[k] = jnp.asarray(batch[k])
         if "batch_mask" in batch:
             arrs["batch_mask"] = jnp.asarray(batch["batch_mask"])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sh = NamedSharding(self.mesh, P("data"))
+            n_data = int(self.mesh.shape["data"])
+            arrs = {k: (jax.device_put(v, data_sh)
+                        if hasattr(v, "ndim") and v.ndim >= 1
+                        and v.shape[0] % n_data == 0 else v)
+                    for k, v in arrs.items()}
         return arrs
 
     # -- training ---------------------------------------------------------
@@ -304,6 +325,8 @@ class Trainer:
                 if self.step % 50 == 0:
                     metrics.log(self.step, epoch=epoch, task=task,
                                 loss=float(loss))
+                if cfg.save_every_steps and self.step % cfg.save_every_steps == 0:
+                    self.save("LAST")  # preemption-safe periodic snapshot
 
             val_loss = 0.0
             epoch_results = {}

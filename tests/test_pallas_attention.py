@@ -37,9 +37,29 @@ def test_vision_block_pallas_flag_matches():
     import hirest_tpu.ops.attention as A
 
     orig = A._pallas_attention
-    A._pallas_attention = lambda q, k, v, s, interpret=False: orig(q, k, v, s, interpret=True)
+    orig_packed = A._pallas_attention_packed
+    A._pallas_attention = (
+        lambda q, k, v, s, interpret=False: orig(q, k, v, s, interpret=True))
+    A._pallas_attention_packed = (
+        lambda q, k, v, s, h, interpret=False: orig_packed(q, k, v, s, h, interpret=True))
     try:
         got = np.asarray(EvaVisionTower(cfg, use_pallas=True).apply(params, imgs))
     finally:
         A._pallas_attention = orig
+        A._pallas_attention_packed = orig_packed
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_pallas_matches_xla():
+    import jax.numpy as jnp
+    from hirest_tpu.ops.attention import fused_attention_packed
+
+    rng = np.random.default_rng(3)
+    b, s, h, d = 2, 37, 4, 22
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+               for _ in range(3))
+    scale = d ** -0.5
+    want = np.asarray(fused_attention_packed(q, k, v, scale, h, use_pallas=False))
+    got = np.asarray(fused_attention_packed(q, k, v, scale, h, use_pallas=True,
+                                            interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
