@@ -186,6 +186,8 @@ class HirestConfig:
     trace_dir: Optional[str] = None       # jax.profiler trace output
     metrics_log: Optional[str] = None     # JSONL scalar-metrics sink
     save_every_steps: int = 0             # periodic LAST checkpoint (preemption safety)
+    fused_segmentation: bool = False      # run the iterative segmentation loop
+                                          # as one on-device lax.scan program
 
     # -- derived --------------------------------------------------------
     @property
@@ -319,5 +321,7 @@ def get_parser() -> argparse.ArgumentParser:
                         help="append scalar metrics as JSONL to this path")
     parser.add_argument("--save_every_steps", type=int, default=0,
                         help="save a LAST checkpoint every N steps (0 = per epoch only)")
+    parser.add_argument("--fused_segmentation", action="store_true",
+                        help="run the segmentation decode loop fully on-device")
 
     return parser

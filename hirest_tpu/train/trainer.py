@@ -39,7 +39,10 @@ from hirest_tpu.data.batching import TaskBatcher
 from hirest_tpu.data.features import FeatureStore
 from hirest_tpu.data.multitask import MultitaskSchedule
 from hirest_tpu.infer.beam import beam_search
-from hirest_tpu.infer.segmentation import iterative_segmentation
+from hirest_tpu.infer.segmentation import (
+    iterative_segmentation,
+    iterative_segmentation_scan,
+)
 from hirest_tpu.models.joint import MomentModel
 from hirest_tpu.native import trim_to_moment
 from hirest_tpu.tokenizers import clip_tokenize
@@ -306,6 +309,10 @@ class Trainer:
             self.epoch = epoch
             schedule.set_epoch(epoch)
             it = iter(schedule)
+            if cfg.num_workers > 0:
+                from hirest_tpu.data.prefetch import prefetch
+
+                it = prefetch(it, depth=max(2, cfg.num_workers))
             while True:
                 with timer.phase("data"):
                     batch = next(it, None)
@@ -378,7 +385,12 @@ class Trainer:
         cfg = self.config
         predictions, targets, fnames, prompts, durations, losses = [], [], [], [], [], []
 
-        for batch in batcher:
+        batches = batcher
+        if self.config.num_workers > 0:
+            from hirest_tpu.data.prefetch import prefetch
+
+            batches = prefetch(iter(batcher), depth=max(2, self.config.num_workers))
+        for batch in batches:
             arrs = self._prepare(batch, task)
             if has_target and self._has_targets(batch, task):
                 losses.append(float(self._get_eval_loss(task)(self.params, arrs)))
@@ -472,12 +484,22 @@ class Trainer:
             self._jit_cache[key] = score
 
         score = self._jit_cache[key]
+        t = arrs["vis_feats"].shape[1]
+
+        if self.config.fused_segmentation:
+            # one lax.scan dispatch for the whole iterative loop
+            def score_traceable(mm, pbm):
+                return score(self.params, arrs, mm, pbm)
+
+            return iterative_segmentation_scan(
+                score_traceable, np.asarray(batch["moment_bound_frames"]), t,
+                self.config.moment_segmentation_difference_threshold,
+                self.config.moment_segmentation_max_iterations)
 
         def score_fn(mm, pbm):
             return np.asarray(score(self.params, arrs, jnp.asarray(mm),
                                     jnp.asarray(pbm)))
 
-        t = arrs["vis_feats"].shape[1]
         return iterative_segmentation(
             score_fn, np.asarray(batch["moment_bound_frames"]), t,
             self.config.moment_segmentation_difference_threshold,

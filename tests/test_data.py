@@ -195,3 +195,19 @@ def test_pick_bucket():
     assert pick_bucket(64, (64, 128)) == 64
     with pytest.raises(ValueError):
         pick_bucket(300, (64, 128, 256))
+
+
+def test_prefetch_iterator():
+    from hirest_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(range(10), depth=3)) == list(range(10))
+    assert list(prefetch(iter([]), depth=2)) == []
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        list(it)

@@ -64,3 +64,44 @@ def test_dedup_and_sorted():
     fn = make_score_fn(peaks)
     out = iterative_segmentation(fn, np.array([[0, 19]]), T, 0.5, max_iterations=5)
     assert out[0] == sorted(set(out[0]))
+
+
+def test_scan_variant_matches_host_loop():
+    """The fused lax.scan decoder must produce the same boundaries as the
+    host loop on a real (random) scoring model."""
+    import jax
+    import jax.numpy as jnp
+
+    from hirest_tpu.config import JointModelConfig, VisualEncoderConfig, DecoderConfig
+    from hirest_tpu.infer.segmentation import iterative_segmentation_scan
+    from hirest_tpu.models import MomentModel
+
+    cfg = JointModelConfig(
+        embed_dim=16,
+        visual=VisualEncoderConfig(hidden_size=16, num_hidden_layers=1,
+                                   num_attention_heads=4, intermediate_size=32),
+        decoder=DecoderConfig(vocab_size=16, hidden_size=16, num_decoder_layers=1,
+                              num_attention_heads=4, intermediate_size=32,
+                              max_target_embeddings=16))
+    m = MomentModel(cfg)
+    B, T = 3, 48
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(B, T, 1024)).astype(np.float32))
+    text = jnp.asarray(rng.normal(size=(B, 1024)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), video, text,
+                    jnp.zeros((B, 8), jnp.int32), method=MomentModel.init_all)
+    vm = jnp.ones((B, T), jnp.int32)
+
+    def score_traceable(mm, pbm):
+        logits = m.apply(params, video, text, vm, mm, None, pbm,
+                         method=MomentModel.moment_segmentation)
+        masked = jnp.where(mm > 0, logits, -jnp.finfo(jnp.float32).max)
+        return jax.nn.softmax(masked, axis=1)
+
+    def score_host(mm, pbm):
+        return np.asarray(score_traceable(jnp.asarray(mm), jnp.asarray(pbm)))
+
+    bounds = np.array([[3, 40], [0, 47], [10, 30]])
+    host = iterative_segmentation(score_host, bounds, T, 0.5, 6)
+    fused = iterative_segmentation_scan(score_traceable, bounds, T, 0.5, 6)
+    assert fused == host
