@@ -67,6 +67,124 @@ def transcribe_audio_dir(audio_dir: str, srt_dir: str, model_name: str = "small.
     return n
 
 
+# ---------------------------------------------------------------------------
+# TPU-native transcription (JAX Whisper, hirest_tpu.models.whisper)
+# ---------------------------------------------------------------------------
+
+# Public token-id constants of the Whisper *.en vocabulary
+EOT = 50256
+SOT = 50257
+NO_TIMESTAMPS = 50362
+TIMESTAMP_BEGIN = 50363
+TIME_PRECISION = 0.02  # seconds per timestamp token
+
+
+def tokens_to_segments(tokens, decode_text_fn, chunk_offset: float = 0.0):
+    """Split a decoded token stream into [{start, end, text}] segments at
+    timestamp-token pairs; `decode_text_fn(ids) -> str` is the (externally
+    supplied) Whisper text tokenizer."""
+    segments = []
+    start_ts = None
+    text_ids: list[int] = []
+    for tok in tokens:
+        tok = int(tok)
+        if tok == EOT:
+            break
+        if tok >= TIMESTAMP_BEGIN:
+            ts = chunk_offset + (tok - TIMESTAMP_BEGIN) * TIME_PRECISION
+            if start_ts is None:
+                start_ts = ts
+            else:
+                if text_ids:
+                    segments.append({"start": start_ts, "end": ts,
+                                     "text": decode_text_fn(text_ids)})
+                start_ts = None
+                text_ids = []
+        elif tok >= SOT:
+            continue  # special tokens
+        else:
+            text_ids.append(tok)
+    if text_ids and start_ts is not None:
+        segments.append({"start": start_ts,
+                         "end": chunk_offset + 30.0,
+                         "text": decode_text_fn(text_ids)})
+    return segments
+
+
+class JaxWhisperTranscriber:
+    """30-second-chunk transcription on the JAX Whisper (greedy, with
+    timestamp tokens). Weights: an HF whisper checkpoint (state dict with
+    `model.encoder.* / model.decoder.*` or bare keys) converted on load;
+    text decoding requires an externally supplied tokenizer decode fn."""
+
+    def __init__(self, ckpt_path: str, decode_text_fn, config=None,
+                 max_new_tokens: int = 224):
+        import jax.numpy as jnp
+
+        from hirest_tpu.models.convert import load_torch_ckpt
+        from hirest_tpu.models.whisper import (
+            WhisperConfig, WhisperDecoder, WhisperEncoder,
+            convert_whisper_decoder, convert_whisper_encoder)
+
+        self.cfg = config or WhisperConfig()
+        sd = load_torch_ckpt(ckpt_path)
+        if any(k.startswith("model.") for k in sd):
+            sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+        self.encoder = WhisperEncoder(self.cfg)
+        self.decoder = WhisperDecoder(self.cfg)
+        self.enc_params = {"params": convert_whisper_encoder(sd, self.cfg)}
+        self.dec_params = {"params": convert_whisper_decoder(sd, self.cfg)}
+        self.decode_text_fn = decode_text_fn
+        self.max_new_tokens = max_new_tokens
+        self._jnp = jnp
+
+    def transcribe(self, audio: np.ndarray) -> list[dict]:
+        """16 kHz mono float audio -> [{start, end, text}] segments."""
+        from hirest_tpu.extraction.mel import N_SAMPLES, log_mel_spectrogram
+        from hirest_tpu.models.whisper import greedy_decode
+
+        segments = []
+        for chunk_idx in range(max(1, int(np.ceil(len(audio) / N_SAMPLES)))):
+            chunk = audio[chunk_idx * N_SAMPLES: (chunk_idx + 1) * N_SAMPLES]
+            mel = log_mel_spectrogram(chunk)  # [frames, 80]
+            enc = self.encoder.apply(self.enc_params, self._jnp.asarray(mel[None]))
+            prompt = np.array([[SOT]], dtype=np.int32)  # .en: no language token
+            tokens = greedy_decode(self.decoder, self.dec_params, enc, prompt,
+                                   self.max_new_tokens, EOT)[0]
+            segments.extend(tokens_to_segments(tokens[1:], self.decode_text_fn,
+                                               chunk_offset=chunk_idx * 30.0))
+        return segments
+
+
+def read_wav_mono16k(path: str) -> np.ndarray:
+    """16-bit PCM mono 16 kHz wav (extract_audio's output format) -> float32."""
+    import wave
+
+    with wave.open(str(path), "rb") as w:
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2, (
+            f"{path}: expected 16-bit mono PCM")
+        assert w.getframerate() == 16_000, f"{path}: expected 16 kHz"
+        data = w.readframes(w.getnframes())
+    return np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+
+
+def transcribe_audio_dir_jax(audio_dir: str, srt_dir: str, ckpt_path: str,
+                             decode_text_fn, config=None) -> int:
+    """TPU-native analogue of transcribe_audio_dir using the flax Whisper."""
+    audio_dir, srt_dir = Path(audio_dir), Path(srt_dir)
+    srt_dir.mkdir(parents=True, exist_ok=True)
+    transcriber = JaxWhisperTranscriber(ckpt_path, decode_text_fn, config=config)
+    n = 0
+    for wav in sorted(audio_dir.glob("*.wav")):
+        out = srt_dir / f"{wav.stem}.srt"
+        if out.exists():
+            continue
+        segments = transcriber.transcribe(read_wav_mono16k(str(wav)))
+        out.write_text(segments_to_srt(segments))
+        n += 1
+    return n
+
+
 def embed_srt_dir(srt_dir: str, out_dir: str, encoder: str = "minilm",
                   encode_text_fn=None) -> int:
     """Per-subtitle-segment sentence embeddings -> {video_id}.npy

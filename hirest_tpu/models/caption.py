@@ -217,8 +217,9 @@ class CaptionDecoder(nn.Module):
         h = self.cls_transform(h)
         h = gelu(h)
         h = self.cls_LayerNorm(h)
-        logits = h @ self.word_embeddings.T.astype(self.dtype) \
-            + self.cls_bias.astype(self.dtype)
+        word_emb = jnp.asarray(self.word_embeddings)
+        logits = h @ word_emb.T.astype(self.dtype) \
+            + jnp.asarray(self.cls_bias).astype(self.dtype)
         return logits.astype(jnp.float32)
 
     def __call__(self, input_ids: jnp.ndarray, encoder_out: jnp.ndarray,
@@ -226,8 +227,8 @@ class CaptionDecoder(nn.Module):
         cfg = self.config
         b, length = input_ids.shape
 
-        x = self.word_embeddings[input_ids].astype(self.dtype) \
-            + self.position_embeddings[None, :length].astype(self.dtype)
+        x = jnp.asarray(self.word_embeddings)[input_ids].astype(self.dtype) \
+            + jnp.asarray(self.position_embeddings)[None, :length].astype(self.dtype)
         x = self.emb_LayerNorm(x)
         x = self.dropout(x)
 
@@ -257,9 +258,9 @@ class CaptionDecoder(nn.Module):
 
     def decode_step(self, tok_ids: jnp.ndarray, pos, cross_kv, cache):
         """tok_ids [N] tokens at position `pos` -> (logits [N, V], cache)."""
-        x = self.word_embeddings[tok_ids].astype(self.dtype)[:, None, :] \
+        x = jnp.asarray(self.word_embeddings)[tok_ids].astype(self.dtype)[:, None, :] \
             + jax.lax.dynamic_slice_in_dim(
-                self.position_embeddings, pos, 1, axis=0)[None].astype(self.dtype)
+                jnp.asarray(self.position_embeddings), pos, 1, axis=0)[None].astype(self.dtype)
         x = self.emb_LayerNorm(x)
 
         new_cache = []
