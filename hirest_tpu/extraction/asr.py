@@ -185,15 +185,35 @@ def transcribe_audio_dir_jax(audio_dir: str, srt_dir: str, ckpt_path: str,
     return n
 
 
-def embed_srt_dir(srt_dir: str, out_dir: str, encoder: str = "minilm",
-                  encode_text_fn=None) -> int:
+def embed_srt_dir(srt_dir: str, out_dir: str, encoder: str = "minilm_jax",
+                  encode_text_fn=None,
+                  pretrained_dir: str = "./pretrained_weights") -> int:
     """Per-subtitle-segment sentence embeddings -> {video_id}.npy
-    [n_segments, dim]. encoder: 'minilm' (384-d, sentence-transformers),
-    or 'fn' with an injected encode_text_fn (e.g. the CLIP text tower)."""
+    [n_segments, dim]. encoder:
+      'minilm_jax' (384-d, the flax MiniLM; needs minilm checkpoint +
+      vocab.txt in pretrained_dir),
+      'minilm' (sentence-transformers, network download),
+      'fn' with an injected encode_text_fn (e.g. the CLIP text tower)."""
+    import os
+
     srt_dir, out_dir = Path(srt_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    if encoder == "minilm":
+    if encoder == "minilm_jax":
+        from hirest_tpu.models.minilm import make_minilm_embedder
+
+        ckpt = None
+        for name in ("all-MiniLM-L6-v2.bin", "minilm.bin", "minilm.pt"):
+            cand = os.path.join(pretrained_dir, name)
+            if os.path.exists(cand):
+                ckpt = cand
+                break
+        if ckpt is None:
+            raise FileNotFoundError(
+                f"no MiniLM checkpoint in {pretrained_dir} "
+                "(expected all-MiniLM-L6-v2.bin); or use encoder='fn'")
+        encode = make_minilm_embedder(ckpt, os.path.join(pretrained_dir, "vocab.txt"))
+    elif encoder == "minilm":
         from sentence_transformers import SentenceTransformer
 
         model = SentenceTransformer("all-MiniLM-L6-v2")
