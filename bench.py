@@ -28,7 +28,8 @@ BASELINE_FPS = 10_000.0
 
 
 def bench_eva_vision(batch_size: int = 64, iters: int = 8, warmup: int = 2,
-                     dtype_name: str = "bfloat16", use_pallas: bool = False) -> float:
+                     dtype_name: str = "bfloat16", use_pallas: bool = False,
+                     int8: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,14 @@ def bench_eva_vision(batch_size: int = 64, iters: int = 8, warmup: int = 2,
     params = shape_only_init(tower, imgs[:1])
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
 
-    fn = jax.jit(lambda p, x: tower.apply(p, x))
+    if int8:
+        from hirest_tpu.models.eva_quant import build_int8_vision_apply
+
+        apply = build_int8_vision_apply(params, EvaVisionConfig(),
+                                        use_pallas=use_pallas, dtype=dtype)
+        fn = lambda p, x: apply(x)  # noqa: E731
+    else:
+        fn = jax.jit(lambda p, x: tower.apply(p, x))
     np.asarray(fn(params, imgs))  # compile + first run
 
     for _ in range(warmup):
@@ -143,6 +151,9 @@ def bench_retrieval_qps(n_prompts: int = 64, n_videos: int = 4282,
 
 
 def main():
+    from hirest_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if "--latency" in sys.argv:
         p50 = bench_caption_latency()
         print(json.dumps({"metric": "step_caption_p50_latency",
@@ -163,10 +174,11 @@ def main():
         if arg.startswith("--batch="):
             batches = (int(arg.split("=")[1]),)
 
+    int8 = "--int8" in sys.argv
     best = 0.0
     for b in batches:
         try:
-            fps = bench_eva_vision(batch_size=b, use_pallas=use_pallas)
+            fps = bench_eva_vision(batch_size=b, use_pallas=use_pallas, int8=int8)
         except Exception as e:  # OOM etc.
             print(f"# batch {b} failed: {e}", file=sys.stderr)
             continue

@@ -16,6 +16,10 @@ from hirest_tpu.config import HirestConfig
 
 def _build_towers(config):
     import jax
+
+    from hirest_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if config.fp16 else jnp.float32

@@ -26,6 +26,10 @@ def main():
 
     import os
 
+    from hirest_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from hirest_tpu.config import HirestConfig
     from hirest_tpu.infer.custom_video import run_custom_video
 

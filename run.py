@@ -24,6 +24,10 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
 
+    from hirest_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     print(config.to_json())
 
     tokenizer = None

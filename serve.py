@@ -22,6 +22,10 @@ def main():
     p.add_argument("--no_warmup", action="store_true")
     a = p.parse_args()
 
+    from hirest_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from hirest_tpu.config import HirestConfig
     from hirest_tpu.serve import ServingEngine, make_server
 

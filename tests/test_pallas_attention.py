@@ -63,3 +63,35 @@ def test_packed_pallas_matches_xla():
     got = np.asarray(fused_attention_packed(q, k, v, scale, h, use_pallas=True,
                                             interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_vision_tower_close_to_float():
+    """int8 path must stay numerically close to the float tower (cosine) —
+    it is a throughput mode for the frozen feature extractor."""
+    import jax
+    from hirest_tpu.config import EvaVisionConfig
+    from hirest_tpu.models.eva_clip import EvaVisionTower
+    from hirest_tpu.models.eva_quant import build_int8_vision_apply
+
+    cfg = EvaVisionConfig(image_size=28, patch_size=14, layers=2, width=32,
+                          head_width=8, mlp_ratio=2.0, embed_dim=16)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(2, 28, 28, 3)),
+                       jnp.float32)
+    tower = EvaVisionTower(cfg)
+    params = tower.init(jax.random.PRNGKey(0), imgs)
+    want = np.asarray(tower.apply(params, imgs))
+
+    import hirest_tpu.ops.attention as A
+
+    orig = A._pallas_attention
+    A._pallas_attention = (
+        lambda q, k, v, s, interpret=False: orig(q, k, v, s, interpret=True))
+    try:
+        apply = build_int8_vision_apply(params, cfg, dtype=jnp.float32)
+        got = np.asarray(apply(imgs))
+    finally:
+        A._pallas_attention = orig
+
+    cos = (got * want).sum(-1) / (np.linalg.norm(got, axis=-1)
+                                  * np.linalg.norm(want, axis=-1))
+    assert (cos > 0.99).all(), cos
