@@ -1,0 +1,81 @@
+"""Config round-trips and mesh sharding rules."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from hirest_tpu.config import HirestConfig, get_parser
+from hirest_tpu.parallel.mesh import make_mesh, param_shardings, shard_batch
+
+
+def test_config_from_args_roundtrip():
+    cfg = HirestConfig.from_args([
+        "--data_dir", "d", "--video_feature_dir", "v",
+        "--train", "--lr", "3e-5", "--epochs", "7",
+        "--moment_segmentation_difference_threshold", "0.4",
+        "--mesh_shape", "data:4,model:2", "--fused_segmentation"])
+    assert cfg.train and cfg.lr == 3e-5 and cfg.epochs == 7
+    assert cfg.moment_segmentation_difference_threshold == 0.4
+    assert cfg.mesh_shape == "data:4,model:2"
+    assert cfg.fused_segmentation
+    d = json.loads(cfg.to_json())
+    assert d["data_dir"] == "d"
+
+
+def test_reference_flag_names_all_present():
+    """Every flag of the reference args.py must parse."""
+    ref_flags = [
+        "--train", "--seed", "--comment", "--device", "--data_dir",
+        "--video_feature_dir", "--asr_dir", "--asr_feature_dir",
+        "--task_moment_retrieval", "--task_moment_segmentation",
+        "--task_step_captioning", "--end_to_end", "--train_batch_size",
+        "--eval_batch_size", "--clip_grad_norm", "--gradient_accumulation_steps",
+        "--epochs", "--optim", "--lr", "--fp16", "--weight_decay",
+        "--warmup_steps", "--n_model_frames", "--num_workers", "--distributed",
+        "--load", "--ckpt_dir", "--num_thread_reader", "--n_display",
+        "--max_frames_step_captioning", "--max_words",
+        "--visual_num_hidden_layers", "--decoder_num_hidden_layers",
+        "--moment_segmentation_difference_threshold",
+        "--moment_segmentation_max_iterations", "--num_beams", "--run_name",
+        "--video_retrieval_model", "--raw_frame", "--save_feats"]
+    parser = get_parser()
+    known = {a for action in parser._actions for a in action.option_strings}
+    missing = [f for f in ref_flags if f not in known]
+    assert missing == [], missing
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_param_shardings_tp_rules():
+    import jax.numpy as jnp
+
+    mesh = make_mesh("data:4,model:2")
+    params = {"params": {
+        "encoder": {"layer_0": {"ffn": {"intermediate": {
+            "kernel": jnp.zeros((16, 64)), "bias": jnp.zeros((64,))},
+            "output": {"kernel": jnp.zeros((64, 16)), "bias": jnp.zeros((16,))}}}},
+        "normalize_video": {"scale": jnp.zeros((16,)), "bias": jnp.zeros((16,))},
+        # shape that does NOT divide by the model axis -> must stay replicated
+        "odd": {"ffn": {"intermediate": {"kernel": jnp.zeros((16, 63))}}},
+    }}
+    sh = param_shardings(params, mesh)
+    inter = sh["params"]["encoder"]["layer_0"]["ffn"]["intermediate"]["kernel"]
+    out = sh["params"]["encoder"]["layer_0"]["ffn"]["output"]["kernel"]
+    ln = sh["params"]["normalize_video"]["scale"]
+    odd = sh["params"]["odd"]["ffn"]["intermediate"]["kernel"]
+    assert "model" in str(inter.spec) and str(inter.spec).index("model") > 0
+    assert str(out.spec).startswith("PartitionSpec('model'")
+    assert ln.spec == jax.sharding.PartitionSpec()
+    assert odd.spec == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_batch_leading_axis():
+    mesh = make_mesh("data:8")
+    batch = {"vis_feats": np.zeros((8, 4, 2), np.float32),
+             "prompts": ["a"] * 8}
+    out = shard_batch(batch, mesh)
+    assert "data" in str(out["vis_feats"].sharding.spec)
+    assert out["prompts"] == ["a"] * 8
