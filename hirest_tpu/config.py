@@ -35,9 +35,12 @@ class EvaVisionConfig:
     patch_size: int = 14
     embed_dim: int = 1024  # output projection dim
     norm_eps: float = 1e-6
+    heads_override: Optional[int] = None  # set when head_width is padded
 
     @property
     def num_heads(self) -> int:
+        if self.heads_override is not None:
+            return self.heads_override
         return self.width // self.head_width
 
     @property

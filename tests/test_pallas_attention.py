@@ -95,3 +95,25 @@ def test_int8_vision_tower_close_to_float():
     cos = (got * want).sum(-1) / (np.linalg.norm(got, axis=-1)
                                   * np.linalg.norm(want, axis=-1))
     assert (cos > 0.99).all(), cos
+
+
+def test_padded_head_transform_is_identity():
+    """Zero-padding heads 88->128 (with the folded scale fix) must produce
+    the exact same tower outputs."""
+    import jax
+    from hirest_tpu.config import EvaVisionConfig
+    from hirest_tpu.models.eva_clip import EvaVisionTower
+    from hirest_tpu.models.eva_pad import pad_vision_head_params
+
+    cfg = EvaVisionConfig(image_size=28, patch_size=14, layers=2, width=24,
+                          head_width=6, mlp_ratio=2.0, embed_dim=16)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(2, 28, 28, 3)),
+                       jnp.float32)
+    tower = EvaVisionTower(cfg)
+    params = tower.init(jax.random.PRNGKey(1), imgs)
+    want = np.asarray(tower.apply(params, imgs))
+
+    padded_params, padded_cfg = pad_vision_head_params(params, cfg, new_head=8)
+    assert padded_cfg.num_heads == cfg.num_heads == 4
+    got = np.asarray(EvaVisionTower(padded_cfg).apply(padded_params, imgs))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
