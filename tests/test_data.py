@@ -211,3 +211,19 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+@requires_data
+def test_full_train_split_scale():
+    """Full-scale smoke over the real train split: counts stay stable and
+    example building stays fast (sub-second class, not minutes)."""
+    import time
+
+    train = load_annotations("/root/reference/data/splits/all_data_train.json")
+    t0 = time.time()
+    counts = {t: len(build_examples(train, t, is_train=True))
+              for t in ("moment_retrieval", "moment_segmentation",
+                        "step_captioning")}
+    assert counts == {"moment_retrieval": 865, "moment_segmentation": 4128,
+                      "step_captioning": 4145}
+    assert time.time() - t0 < 30
