@@ -76,6 +76,35 @@ def _try_build_clipscore(frame_dir: str, pretrained_dir: str = "./pretrained_wei
     )
 
 
+def _try_build_bertscore(pretrained_dir: str = "./pretrained_weights"):
+    """TPU-native BERTScore when a local BERT checkpoint + vocab exist."""
+    vocab = os.path.join(pretrained_dir, "vocab.txt")
+    for name in ("bertscore.bin", "bert-base-uncased.bin", "all-MiniLM-L6-v2.bin"):
+        ckpt = os.path.join(pretrained_dir, name)
+        if os.path.exists(ckpt) and os.path.exists(vocab):
+            from hirest_tpu.eval.bertscore import make_bertscore_fn
+            from hirest_tpu.models.minilm import MiniLmConfig
+
+            cfg = (MiniLmConfig(hidden_size=768, num_hidden_layers=12,
+                                intermediate_size=3072)
+                   if "bert-base" in name or name == "bertscore.bin"
+                   else MiniLmConfig())
+            return make_bertscore_fn(ckpt, vocab, config=cfg)
+    print("BERTScore disabled: no local BERT checkpoint in", pretrained_dir)
+    return None
+
+
+def _try_build_entailment(pretrained_dir: str = "./pretrained_weights"):
+    """NLI entailment plugin when a local HF NLI model dir exists."""
+    nli_dir = os.path.join(pretrained_dir, "nli")
+    if os.path.isdir(nli_dir):
+        from hirest_tpu.eval.bertscore import make_hf_entailment_fn
+
+        return make_hf_entailment_fn(nli_dir)
+    print("Entailment disabled: no NLI model at", nli_dir)
+    return None
+
+
 def main(argv=None) -> dict:
     args = get_eval_parser().parse_args(argv)
     print(args)
@@ -101,10 +130,12 @@ def main(argv=None) -> dict:
         print("Please see the 'examples_for_evaluation_folder' for input examples")
         return {}
 
-    if args.task == "step_captioning" and args.frame_dir != "None":
-        clipscore_fn = _try_build_clipscore(args.frame_dir)
-    else:
-        clipscore_fn = None
+    clipscore_fn = bertscore_fn = entailment_fn = None
+    if args.task == "step_captioning":
+        if args.frame_dir != "None":
+            clipscore_fn = _try_build_clipscore(args.frame_dir)
+        bertscore_fn = _try_build_bertscore()
+        entailment_fn = _try_build_entailment()
 
     if args.task == "video_retrieval":
         result = evaluate_video_retrieval(args.gt_data or splits_gt, pred_data, categories)
@@ -116,7 +147,9 @@ def main(argv=None) -> dict:
         if not args.print_per_category:
             categories = Categories.single()
         result = evaluate_step_captions(args.gt_data or moment_gt, pred_data,
-                                        categories, clipscore_fn=clipscore_fn)
+                                        categories, clipscore_fn=clipscore_fn,
+                                        bertscore_fn=bertscore_fn,
+                                        entailment_fn=entailment_fn)
     else:
         result = {"all": {}}
 
