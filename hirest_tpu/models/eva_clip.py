@@ -174,3 +174,65 @@ def preprocess_image(img, image_size: int = 224) -> np.ndarray:
     img = img.crop((left, top, left + image_size, top + image_size))
     arr = np.asarray(img, dtype=np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
+
+
+def build_eva_model_and_transforms(model_name: str = "EVA_CLIP_g_14",
+                                   pretrained: str | None = None,
+                                   dtype=jnp.bfloat16, use_pallas: bool = True,
+                                   padded_heads: bool = True,
+                                   text_config: EvaTextConfig | None = None,
+                                   vision_config: EvaVisionConfig | None = None):
+    """Factory with the reference's surface (EVA_clip/eva_clip.py:155-171):
+    returns (model, preprocess) where `model` exposes jitted
+    `encode_text(ids [B,77]) -> [B,1024]` and
+    `encode_image(images NHWC) -> [B,1024]`.
+
+    `pretrained` is the torch `eva_clip_psz14.pt` checkpoint (converted on
+    load); without it the towers are randomly initialized (loudly)."""
+    import os
+    from types import SimpleNamespace
+
+    import jax
+
+    from hirest_tpu.utils.init import shape_only_init
+
+    assert model_name == "EVA_CLIP_g_14", f"unknown model {model_name}"
+    text_cfg = text_config or EvaTextConfig()
+    text_tower = EvaTextTower(text_cfg, dtype=dtype)
+    vision_cfg = vision_config or EvaVisionConfig()
+    vision_tower = EvaVisionTower(vision_cfg, dtype=dtype, use_pallas=use_pallas)
+
+    if pretrained and os.path.exists(pretrained):
+        from hirest_tpu.models.convert import (convert_eva_text,
+                                               convert_eva_vision,
+                                               load_torch_ckpt)
+
+        sd = load_torch_ckpt(pretrained)
+        text_params = {"params": convert_eva_text(sd)}
+        vision_params = {"params": convert_eva_vision(sd)}
+        print(f"Loaded EVA CLIP G from {pretrained}")
+    else:
+        text_params = shape_only_init(
+            text_tower, jnp.zeros((1, text_cfg.context_length), jnp.int32))
+        vision_params = shape_only_init(
+            vision_tower,
+            jnp.zeros((1, vision_cfg.image_size, vision_cfg.image_size, 3), dtype))
+        print(f"WARNING: {pretrained!r} not found - EVA towers are random-init")
+
+    if padded_heads:
+        from hirest_tpu.models.eva_pad import pad_vision_head_params
+
+        vision_params, vision_cfg = pad_vision_head_params(vision_params, vision_cfg)
+        vision_tower = EvaVisionTower(vision_cfg, dtype=dtype, use_pallas=use_pallas)
+
+    text_params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), text_params)
+    vision_params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), vision_params)
+    text_apply = jax.jit(lambda p, ids: text_tower.apply(p, ids))
+    vision_apply = jax.jit(lambda p, im: vision_tower.apply(p, im))
+
+    model = SimpleNamespace(
+        encode_text=lambda ids: text_apply(text_params, jnp.asarray(ids)),
+        encode_image=lambda im: vision_apply(vision_params, jnp.asarray(im, dtype)),
+        text_params=text_params, vision_params=vision_params,
+        text_tower=text_tower, vision_tower=vision_tower)
+    return model, preprocess_image

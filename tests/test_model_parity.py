@@ -409,3 +409,25 @@ def test_caption_decoder_parity():
     got = np.asarray(CaptionDecoder(cfg).apply({"params": p}, jnp.asarray(ids),
                                                jnp.asarray(enc), jnp.asarray(amask)))
     np.testing.assert_allclose(got, want, **TOL)
+
+
+def test_build_eva_model_and_transforms_surface():
+    """Reference-factory surface: encode_text / encode_image / preprocess."""
+    import jax.numpy as jnp2
+
+    from hirest_tpu.models.eva_clip import build_eva_model_and_transforms
+
+    small_t = EvaTextConfig(layers=1, width=32, heads=4, vocab_size=100,
+                            embed_dim=16, context_length=8)
+    small_v = EvaVisionConfig(image_size=28, patch_size=14, layers=1, width=16,
+                              head_width=4, mlp_ratio=2.0, embed_dim=16)
+    model, preprocess = build_eva_model_and_transforms(
+        dtype=jnp2.float32, use_pallas=False, padded_heads=False,
+        text_config=small_t, vision_config=small_v)
+    ids = np.zeros((2, 8), np.int32)
+    ids[:, 1] = 99
+    assert np.asarray(model.encode_text(ids)).shape == (2, 16)
+    imgs = np.zeros((2, 28, 28, 3), np.float32)
+    assert np.asarray(model.encode_image(imgs)).shape == (2, 16)
+    arr = preprocess(np.zeros((50, 40, 3), np.uint8))
+    assert arr.shape == (224, 224, 3)
