@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import json
 import os
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -38,7 +37,6 @@ from hirest_tpu.data.annotations import build_examples, caption_targets, load_an
 from hirest_tpu.data.batching import TaskBatcher
 from hirest_tpu.data.features import FeatureStore
 from hirest_tpu.data.multitask import MultitaskSchedule
-from hirest_tpu.infer.beam import beam_search
 from hirest_tpu.infer.segmentation import (
     iterative_segmentation,
     iterative_segmentation_scan,
