@@ -170,7 +170,9 @@ class WordPieceTokenizer:
         return [self.vocab[t] for t in tokens]
 
     def convert_ids_to_tokens(self, ids) -> list[str]:
-        return [self.ids_to_tokens[int(i)] for i in ids]
+        # ids outside the vocab (e.g. decoding with a truncated dev vocab)
+        # map to [UNK] instead of raising
+        return [self.ids_to_tokens.get(int(i), self.unk_token) for i in ids]
 
 
 def detokenize_caption(tokens: list[str]) -> str:

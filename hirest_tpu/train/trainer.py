@@ -293,6 +293,11 @@ class Trainer:
 
     def train(self):
         cfg = self.config
+        if "step_captioning" in cfg.tasks and self.tokenizer is None:
+            raise ValueError(
+                "step-captioning TRAINING needs a WordPiece tokenizer for the "
+                "teacher-forcing targets: put bert-base-uncased vocab.txt in "
+                f"{cfg.pretrained_dir} (inference-only runs work without it)")
         train_batchers = self.loaders["train"]
         schedule = MultitaskSchedule(train_batchers, shuffle=True)
         self.setup_optimizer(len(schedule))
