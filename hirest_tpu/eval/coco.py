@@ -11,9 +11,12 @@ Python so the framework has no JVM or external-binary dependency:
   (Lin 2004, coco-caption configuration).
 - CIDEr: TF-IDF weighted n-gram cosine, n = 1..4, sigma = 6.0
   (Vedantam et al. 2015).
+- METEOR: pure-Python exact+stem alignment scorer (hirest_tpu.eval.meteor;
+  see its docstring for the documented deviations from the METEOR-1.5 jar).
 
-METEOR and SPICE require Java artifacts in the original; they are exposed
-as optional hooks and reported as absent rather than silently zero.
+SPICE requires the Java scene-graph parser in the original; it is exposed
+as an optional hook (`spice_fn`) and reported as absent rather than
+silently zero.
 
 Tokenization: the coco-caption pipeline first runs the PTB tokenizer
 (lowercase + punctuation stripping); `tokenize()` reproduces that effect for
@@ -188,8 +191,10 @@ class CocoEvaluator:
     """Same call surface as language_evaluation.CocoEvaluator.run_evaluation:
     takes flat candidate/reference string lists, returns {metric: score}."""
 
-    def __init__(self, coco_types=("BLEU", "ROUGE_L", "CIDEr")):
+    def __init__(self, coco_types=("BLEU", "METEOR", "ROUGE_L", "CIDEr"),
+                 spice_fn=None):
         self.coco_types = coco_types
+        self.spice_fn = spice_fn
 
     def run_evaluation(self, candidates: list[str], references: list[str]) -> dict:
         refs = [[r] if isinstance(r, str) else list(r) for r in references]
@@ -198,8 +203,15 @@ class CocoEvaluator:
             b = bleu(candidates, refs)
             for i, s in enumerate(b, 1):
                 results[f"Bleu_{i}"] = s
+        if "METEOR" in self.coco_types:
+            from hirest_tpu.eval.meteor import meteor
+            results["METEOR"] = meteor(
+                [tokenize(c) for c in candidates],
+                [[tokenize(r) for r in rs] for rs in refs])
         if "ROUGE_L" in self.coco_types:
             results["ROUGE_L"] = rouge_l(candidates, refs)
         if "CIDEr" in self.coco_types:
             results["CIDEr"] = cider(candidates, refs)
+        if "SPICE" in self.coco_types and self.spice_fn is not None:
+            results["SPICE"] = self.spice_fn(candidates, refs)
         return results

@@ -6,13 +6,19 @@ The kernel computes one (batch, head) attention in a single VMEM-resident
 fusion: scores + softmax + weighted sum never round-trip to HBM
 ( vs. XLA materializing [B, H, S, S] score tensors between fusions).
 
-Layout strategy: callers pad head_dim 88 -> 128 (lane width) and the token
-axis to a sublane multiple; in-kernel masking handles the padded keys, and
-padded query rows are sliced off outside. All matmuls accumulate f32 on the
-MXU (`preferred_element_type`), softmax in f32, output cast back.
+Layout strategy: the kernel reads the UNPADDED logical shapes and Mosaic
+pads the VMEM tiles internally (padding on the host would materialize +45%
+HBM traffic at the ViT-g head width of 88). Callers that pad the token axis
+themselves must pass `key_mask` so padded keys are excluded from the
+softmax; without a mask the kernel attends to every key it is given.
+All matmuls accumulate f32 on the MXU (`preferred_element_type`), softmax
+in f32, output cast back.
 
 `fused_attention` dispatches to the Pallas kernel on TPU and to a plain
 XLA implementation elsewhere (CPU tests use interpret mode explicitly).
+Rectangular (cross-attention) shapes — query and key/value lengths
+differing, e.g. the caption decoder's [B, 12, <=48, 64] queries over 20
+visual keys — are supported by both paths.
 """
 
 from __future__ import annotations
@@ -34,11 +40,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    """One (batch*head) slice: q,k,v [1, S, D] -> o [1, S, D].
+    """One (batch*head) slice: q [1, Sq, D], k/v [1, Sk, D] -> o [1, Sq, D].
 
-    No explicit padding: Mosaic pads the VMEM tiles internally, so the
-    unpadded HBM layout is read directly — padding on the host would
-    materialize +45% HBM traffic for the ViT-g head width of 88."""
+    No key masking: every key position participates in the softmax. Use
+    `_attn_kernel_masked` when the key axis carries padding."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -47,93 +52,160 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _pallas_attention(q, k, v, scale: float, interpret: bool = False):
-    """q,k,v: [B, H, S, D] -> [B, H, S, D]."""
-    b, h, s, d = q.shape
-    bh = b * h
-    qf = q.reshape(bh, s, d)
-    kf = k.reshape(bh, s, d)
-    vf = v.reshape(bh, s, d)
+def _attn_kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
+    """Masked variant: m [1, Sk] nonzero marks a VALID key; padded keys get
+    -inf scores before the softmax (additive -1e30 in f32, matching the
+    reference encoders' -10000-style additive masking semantics but exact)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    valid = m_ref[0] > 0
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.where(valid[None, :], s, jnp.float32(-1e30))
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
-    kernel = functools.partial(_attn_kernel, scale=scale)
-    spec = pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM if pltpu else None)
-    s_pad, d_pad = _round_up(s, 16), _round_up(d, 128)
-    out = pl.pallas_call(
-        kernel,
-        grid=(bh,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * bh * (s_pad * s_pad * d_pad * 2),
-            bytes_accessed=4 * bh * s * d * q.dtype.itemsize,
-            transcendentals=bh * s_pad * s_pad,
-        ),
-    )(qf, kf, vf)
-    return out.reshape(b, h, s, d)
+
+def _pallas_attention(q, k, v, scale: float, key_mask=None,
+                      interpret: bool = False):
+    """q: [B, H, Sq, D], k/v: [B, H, Sk, D], key_mask: [B, Sk] or None."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+
+    vmem = pltpu.VMEM if pltpu else None
+    q_spec = pl.BlockSpec((1, 1, sq, d), lambda i, j: (i, j, 0, 0),
+                          memory_space=vmem)
+    kv_spec = pl.BlockSpec((1, 1, sk, d), lambda i, j: (i, j, 0, 0),
+                           memory_space=vmem)
+    sq_pad, sk_pad, d_pad = (_round_up(sq, 16), _round_up(sk, 16),
+                             _round_up(d, 128))
+    cost = pl.CostEstimate(
+        flops=2 * b * h * (sq_pad * sk_pad * d_pad * 2),
+        bytes_accessed=(2 * b * h * sk * d + 2 * b * h * sq * d)
+        * q.dtype.itemsize,
+        transcendentals=b * h * sq_pad * sk_pad,
+    )
+
+    def squeeze_lead2(kernel):
+        # kernels are written for [1, S, D] refs; adapt to [1, 1, S, D]
+        def wrapped(*refs):
+            kernel(*[r.at[0] for r in refs])
+        return wrapped
+
+    if key_mask is None:
+        kernel = functools.partial(_attn_kernel, scale=scale)
+        out = pl.pallas_call(
+            squeeze_lead2(kernel),
+            grid=(b, h),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(q, k, v)
+    else:
+        kernel = functools.partial(_attn_kernel_masked, scale=scale)
+        m_spec = pl.BlockSpec((1, 1, sk), lambda i, j: (i, 0, 0),
+                              memory_space=vmem)
+        mask3 = key_mask.astype(jnp.int32)[:, None, :]
+        out = pl.pallas_call(
+            squeeze_lead2(kernel),
+            grid=(b, h),
+            in_specs=[q_spec, kv_spec, kv_spec, m_spec],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(q, k, v, mask3)
+    return out
 
 
 def _pallas_attention_packed(q, k, v, scale: float, num_heads: int,
-                             interpret: bool = False):
-    """Packed-layout attention: q,k,v [B, S, H*D] -> [B, S, H*D].
+                             key_mask=None, interpret: bool = False):
+    """Packed-layout attention: q [B, Sq, H*D], k/v [B, Sk, H*D].
 
     Heads are sliced inside the grid via the BlockSpec index map, so the
     [B,S,H*D] -> [B,H,S,D] transposes (two full-tensor HBM round-trips per
     layer) never materialize."""
-    b, s, hd = q.shape
+    b, sq, hd = q.shape
+    sk = k.shape[1]
     d = hd // num_heads
 
-    kernel = functools.partial(_attn_kernel, scale=scale)
-    spec = pl.BlockSpec((1, s, d), lambda i, j: (i, 0, j),
-                        memory_space=pltpu.VMEM if pltpu else None)
-    s_pad, d_pad = _round_up(s, 16), _round_up(d, 128)
-    out = pl.pallas_call(
+    vmem = pltpu.VMEM if pltpu else None
+    q_spec = pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, j),
+                          memory_space=vmem)
+    kv_spec = pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, j),
+                           memory_space=vmem)
+    sq_pad, sk_pad, d_pad = (_round_up(sq, 16), _round_up(sk, 16),
+                             _round_up(d, 128))
+    cost = pl.CostEstimate(
+        flops=2 * b * num_heads * (sq_pad * sk_pad * d_pad * 2),
+        bytes_accessed=(2 * b * sk * hd + 2 * b * sq * hd) * q.dtype.itemsize,
+        transcendentals=b * num_heads * sq_pad * sk_pad,
+    )
+    if key_mask is None:
+        kernel = functools.partial(_attn_kernel, scale=scale)
+        return pl.pallas_call(
+            kernel,
+            grid=(b, num_heads),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(q, k, v)
+    kernel = functools.partial(_attn_kernel_masked, scale=scale)
+    m_spec = pl.BlockSpec((1, sk), lambda i, j: (i, 0), memory_space=vmem)
+    return pl.pallas_call(
         kernel,
         grid=(b, num_heads),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        in_specs=[q_spec, kv_spec, kv_spec, m_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * num_heads * (s_pad * s_pad * d_pad * 2),
-            bytes_accessed=4 * b * s * hd * q.dtype.itemsize,
-            transcendentals=b * num_heads * s_pad * s_pad,
-        ),
-    )(q, k, v)
-    return out
+        cost_estimate=cost,
+    )(q, k, v, key_mask.astype(jnp.int32))
 
 
 def fused_attention_packed(q, k, v, scale: float, num_heads: int,
-                           use_pallas: bool = True, interpret: bool = False):
-    """Attention over packed [B, S, H*D] tensors (no head transpose)."""
+                           key_mask=None, use_pallas: bool = True,
+                           interpret: bool = False):
+    """Attention over packed [B, S, H*D] tensors (no head transpose).
+
+    key_mask: optional [B, Sk]; nonzero marks a valid key."""
     if use_pallas:
         return _pallas_attention_packed(q, k, v, scale, num_heads,
-                                        interpret=interpret)
-    b, s, hd = q.shape
+                                        key_mask=key_mask, interpret=interpret)
+    b, sq, hd = q.shape
+    sk = k.shape[1]
     d = hd // num_heads
 
-    def split(x):
+    def split(x, s):
         return x.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
 
-    out = _xla_attention(split(q), split(k), split(v), scale)
-    return out.transpose(0, 2, 1, 3).reshape(b, s, hd)
+    out = _xla_attention(split(q, sq), split(k, sk), split(v, sk), scale,
+                         key_mask=key_mask)
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, hd)
 
 
-def _xla_attention(q, k, v, scale: float):
+def _xla_attention(q, k, v, scale: float, key_mask=None):
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
                    k.astype(jnp.float32))
+    if key_mask is not None:
+        s = jnp.where((key_mask > 0)[:, None, None, :], s, jnp.float32(-1e30))
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-def fused_attention(q, k, v, scale: float, use_pallas: bool = True,
-                    interpret: bool = False):
-    """Full (non-masked) attention over [B, H, S, D] tensors.
+def fused_attention(q, k, v, scale: float, key_mask=None,
+                    use_pallas: bool = True, interpret: bool = False):
+    """Attention over [B, H, Sq, D] queries and [B, H, Sk, D] keys/values.
 
-    use_pallas selects the VMEM-fused kernel (TPU); otherwise plain XLA.
+    key_mask: optional [B, Sk]; nonzero marks a valid key (padded keys are
+    excluded from the softmax). use_pallas selects the VMEM-fused kernel
+    (TPU); otherwise plain XLA.
     """
     if use_pallas:
-        return _pallas_attention(q, k, v, scale, interpret=interpret)
-    return _xla_attention(q, k, v, scale)
+        return _pallas_attention(q, k, v, scale, key_mask=key_mask,
+                                 interpret=interpret)
+    return _xla_attention(q, k, v, scale, key_mask=key_mask)

@@ -9,6 +9,12 @@ EVA_clip/simple_tokenizer.py.
 
 The merges table ships as `assets/bpe_simple_vocab_16e6.txt.gz` (public
 OpenAI CLIP vocabulary data).
+
+Attribution: the merge loop and vocab construction follow the canonical
+OpenAI CLIP `SimpleTokenizer` algorithm (github.com/openai/CLIP,
+simple_tokenizer.py, MIT license) — byte-exact token-id parity requires the
+published merge order and the `49152-256-2+1` vocab layout; the word-split
+regex here is an independent stdlib-`re` derivation.
 """
 
 from __future__ import annotations

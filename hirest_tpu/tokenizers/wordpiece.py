@@ -9,6 +9,11 @@ Reference surface: clip4caption/modules/tokenization.py (BertTokenizer).
 The 30,522-entry `bert-base-uncased` vocab file is NOT vendored (the
 reference downloads it at runtime); pass its path explicitly or place
 `vocab.txt` in the pretrained-weights directory.
+
+Attribution: the cleaning/splitting rules and greedy longest-match-first
+loop follow the canonical Google BERT `tokenization.py` algorithm
+(github.com/google-research/bert, Apache-2.0) — token-id parity with BERT
+checkpoints requires the published behavior exactly.
 """
 
 from __future__ import annotations

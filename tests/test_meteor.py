@@ -1,0 +1,126 @@
+"""Golden tests for the pure-Python METEOR (hirest_tpu.eval.meteor).
+
+Oracle: nltk.translate.meteor_score with the WordNet stage disabled (a stub
+returning no synsets) and the Porter stemmer in ORIGINAL_ALGORITHM mode —
+exactly the algorithm our dependency-free implementation follows. nltk is
+present in this image but is not a runtime dependency of the framework.
+"""
+
+import numpy as np
+import pytest
+
+from hirest_tpu.eval import coco
+from hirest_tpu.eval.meteor import align, meteor, meteor_single, porter_stem
+
+nltk = pytest.importorskip("nltk")
+from nltk.stem.porter import PorterStemmer  # noqa: E402
+from nltk.translate.meteor_score import single_meteor_score  # noqa: E402
+
+
+class _NoWordnet:
+    def synsets(self, word):
+        return []
+
+
+ORACLE_STEMMER = PorterStemmer(PorterStemmer.ORIGINAL_ALGORITHM)
+
+
+def oracle_meteor(hyp_tokens, ref_tokens):
+    return single_meteor_score(
+        ref_tokens, hyp_tokens, stemmer=ORACLE_STEMMER, wordnet=_NoWordnet())
+
+
+WORDS = """
+caption captions captioning captioned relational relate relational conditional
+rational agreed feed plastered bled motoring sing conflated troubled sized
+hopping tanned falling hissing fizzed failing filing happy sky enjoy
+relational conditional rational valenci hesitanci digitizer conformabli
+radicalli differentli vileli analogousli vietnamization predication operator
+feudalism decisiveness hopefulness callousness formaliti sensitiviti sensibiliti
+triplicate formative formalize electriciti electrical hopeful goodness revival
+allowance inference airliner gyroscopic adjustable defensible irritant
+replacement adjustment dependent adoption homologou communism activate angulariti
+homologous effective bowdlerize probate rate cease controll roll mixing whisk
+slice sliced slicing carefully quickly stir the a an and of to in for on with
+oven heat heated heating cook cooked cooking bake baked baking add added adding
+water flour sugar butter eggs milk bowl pan knife cut cutting pieces minutes
+seconds hours degrees temperature remove removed serve served serving plate
+"""
+
+
+def test_porter_stem_matches_nltk_original_mode():
+    mismatches = [(w, porter_stem(w), ORACLE_STEMMER.stem(w))
+                  for w in WORDS.split()
+                  if porter_stem(w) != ORACLE_STEMMER.stem(w)]
+    assert not mismatches, mismatches[:10]
+
+
+def test_porter_stem_random_letter_strings():
+    rng = np.random.default_rng(0)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    for _ in range(500):
+        w = "".join(rng.choice(letters, size=rng.integers(1, 12)))
+        assert porter_stem(w) == ORACLE_STEMMER.stem(w), w
+
+
+CASES = [
+    ("the cat sat on the mat", "the cat was sat on the mat"),
+    ("preheat the oven to 350 degrees", "heat oven to 350 degrees fahrenheit"),
+    ("mix the flour and sugar", "the flour and the sugar are mixed together"),
+    ("no overlap whatsoever here", "completely different tokens appear"),
+    ("identical sentence", "identical sentence"),
+    ("a a a a", "a a"),
+    ("running quickly", "run quick"),
+    ("slice the onions thinly", "thinly slice the onion"),
+    ("", "nonempty reference"),
+    ("nonempty hypothesis", ""),
+]
+
+
+@pytest.mark.parametrize("hyp,ref", CASES)
+def test_meteor_single_matches_nltk(hyp, ref):
+    h, r = hyp.split(), ref.split()
+    if not h or not r:
+        # nltk raises ZeroDivisionError-guarded 0.0 as well, but only for
+        # zero matches; empty sequences short-circuit in ours
+        assert meteor_single(h, r) == 0.0
+        return
+    assert meteor_single(h, r) == pytest.approx(oracle_meteor(h, r), abs=1e-12)
+
+
+def test_meteor_random_corpora_match_nltk():
+    rng = np.random.default_rng(1)
+    vocab = ("cut mix stir bake add the a and slice heat cool pour whisk "
+             "fold bowl pan cake bread dough sauce oil salt water").split()
+    for _ in range(200):
+        h = list(rng.choice(vocab, size=rng.integers(1, 15)))
+        r = list(rng.choice(vocab, size=rng.integers(1, 15)))
+        assert meteor_single(h, r) == pytest.approx(
+            oracle_meteor(h, r), abs=1e-12), (h, r)
+
+
+def test_corpus_meteor_max_over_refs_and_mean():
+    cands = [["the", "cat"], ["a", "dog", "runs"]]
+    refs = [[["the", "cat"], ["a", "feline"]], [["dogs", "run"]]]
+    expected = np.mean([
+        max(oracle_meteor(cands[0], refs[0][0]), oracle_meteor(cands[0], refs[0][1])),
+        oracle_meteor(cands[1], refs[1][0]),
+    ])
+    assert meteor(cands, refs) == pytest.approx(expected, abs=1e-12)
+
+
+def test_alignment_indices_sorted_by_hypothesis():
+    matches = align("b a c".split(), "a b c d".split())
+    assert matches == sorted(matches, key=lambda p: p[0])
+    assert len(matches) == 3
+
+
+def test_coco_evaluator_reports_meteor():
+    ev = coco.CocoEvaluator()
+    res = ev.run_evaluation(["the cat sat"], ["the cat sat"])
+    assert res["METEOR"] == pytest.approx(oracle_meteor(
+        "the cat sat".split(), "the cat sat".split()), abs=1e-12)
+    assert "SPICE" not in res  # absent without a hook, never silently zero
+
+    ev2 = coco.CocoEvaluator(coco_types=("SPICE",), spice_fn=lambda c, r: 0.25)
+    assert ev2.run_evaluation(["x"], ["x"]) == {"SPICE": 0.25}

@@ -20,6 +20,58 @@ def test_pallas_matches_xla(shape):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape", [(2, 4, 17, 8), (2, 12, 48, 64)])
+def test_pallas_key_mask_matches_xla(shape):
+    """Padded keys must be excluded from the softmax (VERDICT r1 weak #3)."""
+    rng = np.random.default_rng(7)
+    b, h, s, d = shape
+    q, k, v = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+               for _ in range(3))
+    n_valid = s - 5
+    key_mask = jnp.asarray((np.arange(s) < n_valid)[None].repeat(b, 0), jnp.int32)
+    scale = d ** -0.5
+    want = np.asarray(_xla_attention(q, k, v, scale, key_mask=key_mask))
+    got = np.asarray(fused_attention(q, k, v, scale, key_mask=key_mask,
+                                     use_pallas=True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # and the mask genuinely matters: unmasked output differs
+    unmasked = np.asarray(fused_attention(q, k, v, scale, use_pallas=True,
+                                          interpret=True))
+    assert np.abs(unmasked - want).max() > 1e-3
+
+
+def test_pallas_cross_attention_rectangular():
+    """Decoder cross-attention shape: 48 queries over 20 visual keys."""
+    rng = np.random.default_rng(8)
+    b, h, sq, sk, d = 2, 12, 48, 20, 64
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    scale = d ** -0.5
+    want = np.asarray(_xla_attention(q, k, v, scale))
+    got = np.asarray(fused_attention(q, k, v, scale, use_pallas=True,
+                                     interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_pallas_key_mask_and_rectangular():
+    from hirest_tpu.ops.attention import fused_attention_packed
+
+    rng = np.random.default_rng(9)
+    b, sq, sk, h, d = 2, 33, 21, 4, 22
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    key_mask = jnp.asarray((np.arange(sk) < 15)[None].repeat(b, 0), jnp.int32)
+    scale = d ** -0.5
+    want = np.asarray(fused_attention_packed(q, k, v, scale, h,
+                                             key_mask=key_mask, use_pallas=False))
+    got = np.asarray(fused_attention_packed(q, k, v, scale, h,
+                                            key_mask=key_mask, use_pallas=True,
+                                            interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_vision_block_pallas_flag_matches():
     from hirest_tpu.config import EvaVisionConfig
     from hirest_tpu.models.eva_clip import EvaVisionTower
@@ -39,9 +91,10 @@ def test_vision_block_pallas_flag_matches():
     orig = A._pallas_attention
     orig_packed = A._pallas_attention_packed
     A._pallas_attention = (
-        lambda q, k, v, s, interpret=False: orig(q, k, v, s, interpret=True))
+        lambda q, k, v, s, **kw: orig(q, k, v, s, **{**kw, "interpret": True}))
     A._pallas_attention_packed = (
-        lambda q, k, v, s, h, interpret=False: orig_packed(q, k, v, s, h, interpret=True))
+        lambda q, k, v, s, h, **kw: orig_packed(
+            q, k, v, s, h, **{**kw, "interpret": True}))
     try:
         got = np.asarray(EvaVisionTower(cfg, use_pallas=True).apply(params, imgs))
     finally:
@@ -85,7 +138,7 @@ def test_int8_vision_tower_close_to_float():
 
     orig = A._pallas_attention
     A._pallas_attention = (
-        lambda q, k, v, s, interpret=False: orig(q, k, v, s, interpret=True))
+        lambda q, k, v, s, **kw: orig(q, k, v, s, **{**kw, "interpret": True}))
     try:
         apply = build_int8_vision_apply(params, cfg, dtype=jnp.float32)
         got = np.asarray(apply(imgs))
