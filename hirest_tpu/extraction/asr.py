@@ -112,13 +112,25 @@ def tokens_to_segments(tokens, decode_text_fn, chunk_offset: float = 0.0):
 
 
 class JaxWhisperTranscriber:
-    """30-second-chunk transcription on the JAX Whisper (greedy, with
-    timestamp tokens). Weights: an HF whisper checkpoint (state dict with
-    `model.encoder.* / model.decoder.*` or bare keys) converted on load;
-    text decoding requires an externally supplied tokenizer decode fn."""
+    """Transcription on the JAX Whisper. Two modes:
 
-    def __init__(self, ckpt_path: str, decode_text_fn, config=None,
-                 max_new_tokens: int = 224):
+    - rules mode (default, `decode_options` or a tokenizer given): the full
+      whisper.transcribe semantics — beam/sampling with the reference's
+      temperature-fallback schedule, compression-ratio/logprob/no-speech
+      gates, timestamp rules, sliding-window seek
+      (hirest_tpu.extraction.whisper_decode; reference
+      extract_ASR.py:42-104);
+    - fast greedy mode (`use_rules=False`): fixed 30 s chunks, jitted
+      greedy scan decode.
+
+    Weights: an HF whisper checkpoint (state dict with
+    `model.encoder.* / model.decoder.*` or bare keys) converted on load.
+    Text decoding: pass `tokenizer` (a WhisperEnTokenizer, built from the
+    checkpoint's vocab.json/merges.txt) or a bare `decode_text_fn`."""
+
+    def __init__(self, ckpt_path: str, decode_text_fn=None, config=None,
+                 max_new_tokens: int = 224, tokenizer=None,
+                 decode_options=None, use_rules: bool = True):
         import jax.numpy as jnp
 
         from hirest_tpu.models.convert import load_torch_ckpt
@@ -134,12 +146,45 @@ class JaxWhisperTranscriber:
         self.decoder = WhisperDecoder(self.cfg)
         self.enc_params = {"params": convert_whisper_encoder(sd, self.cfg)}
         self.dec_params = {"params": convert_whisper_decoder(sd, self.cfg)}
-        self.decode_text_fn = decode_text_fn
+        self.tokenizer = tokenizer
+        self.decode_text_fn = decode_text_fn or (
+            tokenizer.decode if tokenizer is not None else None)
+        if self.decode_text_fn is None:
+            raise ValueError("need `tokenizer` (WhisperEnTokenizer) or "
+                             "`decode_text_fn` to produce transcript text")
+        self.decode_options = decode_options
+        self.use_rules = use_rules and tokenizer is not None
         self.max_new_tokens = max_new_tokens
         self._jnp = jnp
+        self._adapter = None
+
+    @classmethod
+    def from_hf_dir(cls, ckpt_dir: str, ckpt_name: str = "pytorch_model.bin",
+                    **kw):
+        """Build from an HF whisper checkpoint directory (weights +
+        vocab.json/merges.txt), fully whisper-package-free."""
+        from hirest_tpu.tokenizers.gpt2_bpe import WhisperEnTokenizer
+
+        d = Path(ckpt_dir)
+        tok = WhisperEnTokenizer(str(d / "vocab.json"), str(d / "merges.txt"))
+        return cls(str(d / ckpt_name), tokenizer=tok, **kw)
 
     def transcribe(self, audio: np.ndarray) -> list[dict]:
         """16 kHz mono float audio -> [{start, end, text}] segments."""
+        if self.use_rules:
+            from hirest_tpu.extraction.whisper_decode import (
+                DecodeOptions, JaxWhisperAdapter, transcribe_with_rules)
+
+            if self._adapter is None:
+                self._adapter = JaxWhisperAdapter(
+                    self.encoder, self.enc_params, self.decoder, self.dec_params)
+            opts = self.decode_options or DecodeOptions()
+            return transcribe_with_rules(self._adapter, audio,
+                                         self.tokenizer, opts)["segments"]
+        return self._transcribe_greedy(audio)
+
+    def _transcribe_greedy(self, audio: np.ndarray) -> list[dict]:
+        """Fast path: fixed 30 s chunks, jitted greedy scan decode."""
         from hirest_tpu.extraction.mel import N_SAMPLES, log_mel_spectrogram
         from hirest_tpu.models.whisper import greedy_decode
 
@@ -169,11 +214,25 @@ def read_wav_mono16k(path: str) -> np.ndarray:
 
 
 def transcribe_audio_dir_jax(audio_dir: str, srt_dir: str, ckpt_path: str,
-                             decode_text_fn, config=None) -> int:
-    """TPU-native analogue of transcribe_audio_dir using the flax Whisper."""
+                             decode_text_fn=None, config=None,
+                             vocab_path: str | None = None,
+                             merges_path: str | None = None,
+                             decode_options=None) -> int:
+    """TPU-native analogue of transcribe_audio_dir using the flax Whisper.
+
+    With `vocab_path`/`merges_path` (the HF checkpoint's vocab.json /
+    merges.txt) the full whisper decoding rules run, whisper-package-free;
+    with only `decode_text_fn`, the fast greedy path is used."""
+    tokenizer = None
+    if vocab_path and merges_path:
+        from hirest_tpu.tokenizers.gpt2_bpe import WhisperEnTokenizer
+
+        tokenizer = WhisperEnTokenizer(vocab_path, merges_path)
     audio_dir, srt_dir = Path(audio_dir), Path(srt_dir)
     srt_dir.mkdir(parents=True, exist_ok=True)
-    transcriber = JaxWhisperTranscriber(ckpt_path, decode_text_fn, config=config)
+    transcriber = JaxWhisperTranscriber(ckpt_path, decode_text_fn,
+                                        config=config, tokenizer=tokenizer,
+                                        decode_options=decode_options)
     n = 0
     for wav in sorted(audio_dir.glob("*.wav")):
         out = srt_dir / f"{wav.stem}.srt"

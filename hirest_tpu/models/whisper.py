@@ -263,6 +263,36 @@ def greedy_decode(decoder: WhisperDecoder, params, enc, prompt_ids: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def infer_whisper_config(sd) -> WhisperConfig:
+    """Derive the architecture from state-dict shapes (the same shape
+    sniffing the reference uses for CLIP checkpoints, EVA_clip/model.py
+    build_model) so any whisper size (tiny/base/small/medium, .en or
+    multilingual) converts without a config flag. Head count follows the
+    universal whisper head width of 64."""
+    get = lambda k: sd[k].shape  # noqa: E731
+    vocab, d_model = get("decoder.embed_tokens.weight")
+    max_tgt = get("decoder.embed_positions.weight")[0]
+    num_mel = get("encoder.conv1.weight")[1]
+    ffn = get("encoder.layers.0.fc1.weight")[0]
+
+    def n_layers(prefix):
+        ns = {int(k.split(".")[2]) for k in sd
+              if k.startswith(prefix) and k.split(".")[2].isdigit()}
+        return max(ns) + 1
+
+    if "encoder.embed_positions.weight" in sd:
+        max_src = get("encoder.embed_positions.weight")[0]
+    else:
+        max_src = 1500
+    return WhisperConfig(
+        num_mel_bins=int(num_mel), d_model=int(d_model),
+        encoder_layers=n_layers("encoder.layers."),
+        decoder_layers=n_layers("decoder.layers."),
+        heads=int(d_model) // 64, ffn_dim=int(ffn),
+        max_source_positions=int(max_src),
+        max_target_positions=int(max_tgt), vocab_size=int(vocab))
+
+
 def _attn_params(sd, prefix):
     from hirest_tpu.models.convert import _linear, _np
 

@@ -46,3 +46,89 @@ def make_optimizer(lr: float, warmup_steps: float, total_steps: int,
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
+
+
+# ---------------------------------------------------------------------------
+# BertAdam — the CLIP4Caption pretrain optimizer
+# ---------------------------------------------------------------------------
+
+
+def _bert_schedule(name: str):
+    import jax.numpy as jnp
+
+    def warmup_cosine(x, warmup):
+        return jnp.where(x < warmup, x / warmup,
+                         0.5 * (1.0 + jnp.cos(jnp.pi * x)))
+
+    def warmup_constant(x, warmup):
+        return jnp.where(x < warmup, x / warmup, 1.0)
+
+    def warmup_linear(x, warmup):
+        return jnp.where(x < warmup, x / warmup,
+                         jnp.maximum((x - 1.0) / (warmup - 1.0), 0.0))
+
+    return {"warmup_cosine": warmup_cosine,
+            "warmup_constant": warmup_constant,
+            "warmup_linear": warmup_linear}[name]
+
+
+def bert_adam(lr: float, warmup: float = -1.0, t_total: int = -1,
+              schedule: str = "warmup_linear", b1: float = 0.9,
+              b2: float = 0.999, eps: float = 1e-6,
+              weight_decay: float = 0.01,
+              max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+    """Exact BertAdam semantics (reference
+    clip4caption/modules/optimization.py:52-167), as one optax transform:
+
+    - Adam moments WITHOUT bias correction;
+    - PER-PARAMETER gradient-norm clipping (torch clip_grad_norm_ on each
+      tensor individually, optimization.py:135-136) — not global-norm;
+    - decoupled weight decay added to the update before lr scaling;
+    - schedule evaluated at step/t_total with the step counter starting at
+      0 (so the very first warmup_linear step has lr == 0).
+
+    Used by the CLIP4Caption captioning pretrain loop
+    (clip4caption/train.py uses BertAdam); HiREST's own trainer uses AdamW.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    sched = _bert_schedule(schedule)
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"step": jnp.zeros((), jnp.int32),
+                "m": zeros,
+                "v": jax.tree_util.tree_map(jnp.zeros_like, params)}
+
+    def update(grads, state, params=None):
+        assert params is not None, "bert_adam needs params (weight decay)"
+
+        def clip(g):
+            if max_grad_norm <= 0:
+                return g
+            norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            coef = jnp.minimum(max_grad_norm / (norm + 1e-6), 1.0)
+            return g * coef.astype(g.dtype)
+
+        grads = jax.tree_util.tree_map(clip, grads)
+        m = jax.tree_util.tree_map(lambda m_, g: b1 * m_ + (1 - b1) * g,
+                                   state["m"], grads)
+        v = jax.tree_util.tree_map(lambda v_, g: b2 * v_ + (1 - b2) * g * g,
+                                   state["v"], grads)
+        if t_total != -1:
+            progress = state["step"].astype(jnp.float32) / t_total
+            lr_t = lr * sched(progress, warmup)
+        else:
+            lr_t = jnp.asarray(lr, jnp.float32)
+
+        def upd(m_, v_, p):
+            u = m_ / (jnp.sqrt(v_) + eps)
+            if weight_decay > 0:
+                u = u + weight_decay * p
+            return -lr_t * u
+
+        updates = jax.tree_util.tree_map(upd, m, v, params)
+        return updates, {"step": state["step"] + 1, "m": m, "v": v}
+
+    return optax.GradientTransformation(init, update)

@@ -28,7 +28,6 @@ from hirest_tpu.config import DecoderConfig, VisualEncoderConfig
 from hirest_tpu.models.caption import CaptionDecoder, VisualEncoder
 from hirest_tpu.native import trim_to_moment
 from hirest_tpu.train.losses import step_captioning_loss
-from hirest_tpu.train.optim import make_optimizer
 
 
 class CaptionGenerator(nn.Module):
@@ -96,7 +95,13 @@ def pretrain_caption_generator(
     params = model.init(jax.random.PRNGKey(seed), feats0, ids0)
 
     steps_per_epoch = max(1, len(examples) // batch_size)
-    tx = make_optimizer(lr, warmup, steps_per_epoch * epochs, clip_grad_norm=1.0)
+    # BertAdam with warmup_linear — the exact optimizer of the upstream
+    # captioning pretrain (clip4caption/train.py uses modules/optimization
+    # BertAdam; per-parameter grad clipping, no bias correction)
+    from hirest_tpu.train.optim import bert_adam
+
+    tx = bert_adam(lr, warmup=warmup, t_total=steps_per_epoch * epochs,
+                   schedule="warmup_linear", max_grad_norm=1.0)
     opt_state = tx.init(params)
 
     @jax.jit

@@ -35,26 +35,41 @@ def test_convert_minilm_kind(tmp_path):
     assert "layer_5_ffn" in tree["encoder"]
 
 
-@pytest.mark.slow
 def test_convert_whisper_kind(tmp_path):
     from transformers import WhisperConfig as HFConfig, WhisperModel
 
-    # full small.en dims are heavy; the tool uses the default WhisperConfig,
-    # so build a matching-dims random checkpoint
-    from hirest_tpu.models.whisper import WhisperConfig
-
-    cfg = WhisperConfig()
+    # tiny dims: the tool infers the architecture from state-dict shapes
+    # (infer_whisper_config), so any size — including this test model and
+    # the real tiny/base/small/medium checkpoints — converts unchanged
     hf = WhisperModel(HFConfig(
-        d_model=cfg.d_model, encoder_layers=cfg.encoder_layers,
-        decoder_layers=cfg.decoder_layers,
-        encoder_attention_heads=cfg.heads, decoder_attention_heads=cfg.heads,
-        encoder_ffn_dim=cfg.ffn_dim, decoder_ffn_dim=cfg.ffn_dim,
-        num_mel_bins=cfg.num_mel_bins,
-        max_source_positions=cfg.max_source_positions,
-        max_target_positions=cfg.max_target_positions,
-        vocab_size=cfg.vocab_size, pad_token_id=0)).eval()
+        d_model=64, encoder_layers=2, decoder_layers=3,
+        encoder_attention_heads=1, decoder_attention_heads=1,
+        encoder_ffn_dim=128, decoder_ffn_dim=128,
+        num_mel_bins=80, max_source_positions=1500,
+        max_target_positions=448, vocab_size=1000, pad_token_id=0)).eval()
     src = tmp_path / "whisper.pt"
     torch.save(hf.state_dict(), src)
     tree = run_tool("whisper", src, tmp_path / "whisper.msgpack")
-    assert tree["decoder"]["embed_tokens"].shape == (cfg.vocab_size, cfg.d_model)
-    assert f"layers_{cfg.encoder_layers - 1}" in tree["encoder"]
+    assert tree["decoder"]["embed_tokens"].shape == (1000, 64)
+    assert "layers_1" in tree["encoder"]
+    assert "layers_2" in tree["decoder"] and "layers_3" not in tree["decoder"]
+
+
+def test_infer_whisper_config_from_shapes():
+    from hirest_tpu.models.whisper import WhisperConfig, infer_whisper_config
+
+    import numpy as np
+
+    cfg = WhisperConfig()  # small.en dims
+    sd = {
+        "decoder.embed_tokens.weight": np.zeros((cfg.vocab_size, cfg.d_model)),
+        "decoder.embed_positions.weight": np.zeros((448, cfg.d_model)),
+        "encoder.embed_positions.weight": np.zeros((1500, cfg.d_model)),
+        "encoder.conv1.weight": np.zeros((cfg.d_model, 80, 3)),
+        "encoder.layers.0.fc1.weight": np.zeros((cfg.ffn_dim, cfg.d_model)),
+    }
+    for i in range(cfg.encoder_layers):
+        sd[f"encoder.layers.{i}.x.weight"] = np.zeros(1)
+    for i in range(cfg.decoder_layers):
+        sd[f"decoder.layers.{i}.x.weight"] = np.zeros(1)
+    assert infer_whisper_config(sd) == cfg

@@ -54,14 +54,14 @@ def main():
                 "decoder": convert_caption_decoder(
                     sd, cfg.decoder.num_decoder_layers, prefix="decoder.")}
     elif a.kind == "whisper":
-        from hirest_tpu.models.whisper import (WhisperConfig,
-                                               convert_whisper_decoder,
-                                               convert_whisper_encoder)
+        from hirest_tpu.models.whisper import (convert_whisper_decoder,
+                                               convert_whisper_encoder,
+                                               infer_whisper_config)
 
         if any(k.startswith("model.") for k in sd):
             sd = {k[len("model."):]: v for k, v in sd.items()
                   if k.startswith("model.")}
-        cfg = WhisperConfig()
+        cfg = infer_whisper_config(sd)  # any whisper size converts
         tree = {"encoder": convert_whisper_encoder(sd, cfg),
                 "decoder": convert_whisper_decoder(sd, cfg)}
     elif a.kind == "minilm":
