@@ -1,0 +1,197 @@
+"""Scan-over-layers EVA vision forward (bf16 and int8) for throughput.
+
+The flax `EvaVisionTower` unrolls its 40 blocks into one giant HLO graph —
+fine for parity work, but XLA compile time scales with graph size: the
+unrolled int8 + dynamic-quant graph took >25 min to compile through the dev
+tunnel (ROADMAP round-1 #3), which made the 2x-int8-peak lever unusable and
+made batch-size sweeps prohibitively slow even in bf16.
+
+This module stacks the per-block parameters along a leading [L] axis and
+runs the blocks with `lax.scan`, so XLA compiles ONE block regardless of
+depth. Identical math to `EvaVisionTower` (parity-tested in
+tests/test_eva_scan.py); the int8 path quantizes every projection
+(qkv/out/fc1/fc2 — ~97% of the FLOPs) per-output-channel at build time with
+dynamic per-row activation scales, running int8 x int8 -> int32 on the MXU
+(2x bf16 peak on v5e). LayerNorm / softmax / residuals stay f32/bf16.
+
+Replaces the throughput role of reference
+extraction/video_features/extract_features.py:42-68 (fp16 CUDA encode).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hirest_tpu.config import EvaVisionConfig
+from hirest_tpu.models.layers import gelu, merge_heads, split_heads
+from hirest_tpu.ops.attention import fused_attention, fused_attention_packed
+
+
+def _ln(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _stack(blocks, *path):
+    leaves = []
+    for b in blocks:
+        x = b
+        for k in path:
+            x = x[k]
+        leaves.append(np.asarray(x))
+    return np.stack(leaves)
+
+
+def stack_block_params(params: dict, cfg: EvaVisionConfig) -> dict:
+    """Per-block param dicts -> one dict of [L, ...]-stacked float arrays."""
+    p = params["params"] if "params" in params else params
+    blocks = [p[f"block_{i}"] for i in range(cfg.layers)]
+    return {
+        "norm1_scale": _stack(blocks, "norm1", "scale"),
+        "norm1_bias": _stack(blocks, "norm1", "bias"),
+        "norm2_scale": _stack(blocks, "norm2", "scale"),
+        "norm2_bias": _stack(blocks, "norm2", "bias"),
+        "qkv_w": _stack(blocks, "attn", "qkv", "kernel"),
+        "q_bias": _stack(blocks, "attn", "q_bias"),
+        "v_bias": _stack(blocks, "attn", "v_bias"),
+        "out_w": _stack(blocks, "attn", "out", "kernel"),
+        "out_b": _stack(blocks, "attn", "out", "bias"),
+        "fc1_w": _stack(blocks, "mlp_fc1", "kernel"),
+        "fc1_b": _stack(blocks, "mlp_fc1", "bias"),
+        "fc2_w": _stack(blocks, "mlp_fc2", "kernel"),
+        "fc2_b": _stack(blocks, "mlp_fc2", "bias"),
+    }
+
+
+def _quantize_stacked(w: np.ndarray):
+    """[L, in, out] float -> ([L, in, out] int8, [L, out] f32 scales),
+    per (layer, out-channel)."""
+    w = np.asarray(w, dtype=np.float32)
+    scale = np.maximum(np.max(np.abs(w), axis=1) / 127.0, 1e-8)  # [L, out]
+    q = np.clip(np.round(w / scale[:, None, :]), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(scale)
+
+
+def _dyn_quant_rows(x):
+    """[..., in] float -> (int8 rows, [..., 1] f32 scales)."""
+    x32 = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _int8_mm(x_q, x_s, w_q, w_s, bias, out_dtype):
+    """x_q [B, N, in] int8, w_q [in, out] int8 -> [B, N, out] out_dtype."""
+    acc = jax.lax.dot_general(x_q, w_q, (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * x_s * w_s[None, None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def build_scanned_vision_apply(params: dict,
+                               cfg: EvaVisionConfig = EvaVisionConfig(),
+                               *, int8: bool = False, use_pallas: bool = True,
+                               dtype=jnp.bfloat16, interpret: bool = False,
+                               remat: bool = False):
+    """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
+    block stack runs under `lax.scan` (one-block compile time).
+
+    params: the float EvaVisionTower tree (converted checkpoint or
+    shape-init), optionally already head-padded (pad_vision_head_params).
+    int8: quantize qkv/out/fc1/fc2 projections (weights per-channel at build
+    time, activations per-row dynamically).
+    """
+    p = params["params"] if "params" in params else params
+    stacked = stack_block_params(params, cfg)
+
+    heads = cfg.num_heads
+    head_dim = cfg.head_width
+    scale = head_dim ** -0.5
+    grid = cfg.image_size // cfg.patch_size
+    ppc = cfg.patch_size * cfg.patch_size * 3
+    eps = cfg.norm_eps
+    packed = use_pallas and head_dim % 128 == 0
+
+    # All weights travel as EXPLICIT jit arguments. Closing over them would
+    # embed ~2 GB as HLO constants — compilation stalls for 10+ minutes
+    # through the axon tunnel (the round-1 int8-path failure mode).
+    consts = {
+        "patch_w": jnp.asarray(p["patch_embed"]["kernel"], dtype),
+        "patch_b": jnp.asarray(p["patch_embed"]["bias"], dtype),
+        "head_w": jnp.asarray(p["head"]["kernel"], dtype),
+        "head_b": jnp.asarray(p["head"]["bias"], dtype),
+        "cls_token": jnp.asarray(p["cls_token"], dtype),
+        "pos": jnp.asarray(p["pos_embed"], dtype),
+        "fnorm_scale": jnp.asarray(p["norm"]["scale"]),
+        "fnorm_bias": jnp.asarray(p["norm"]["bias"]),
+    }
+
+    if int8:
+        xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()
+              if not k.endswith("_w")}
+        for name in ("qkv", "out", "fc1", "fc2"):
+            q, s = _quantize_stacked(stacked[name + "_w"])
+            xs[name + "_wq"], xs[name + "_ws"] = q, s
+    else:
+        xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()}
+
+    def attn_core(q, k, v):
+        if packed:
+            return fused_attention_packed(q, k, v, scale, heads,
+                                          use_pallas=True, interpret=interpret)
+        out = fused_attention(split_heads(q, heads), split_heads(k, heads),
+                              split_heads(v, heads), scale,
+                              use_pallas=use_pallas, interpret=interpret)
+        return merge_heads(out)
+
+    def block(x, w):
+        h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
+        if int8:
+            h_q, h_s = _dyn_quant_rows(h)
+            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
+        else:
+            qkv = h @ w["qkv_w"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q + w["q_bias"]
+        v = v + w["v_bias"]
+        att = attn_core(q, k, v).astype(dtype)
+        if int8:
+            a_q, a_s = _dyn_quant_rows(att)
+            x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)
+        else:
+            x = x + (att @ w["out_w"] + w["out_b"])
+        h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
+        if int8:
+            h_q, h_s = _dyn_quant_rows(h)
+            h = gelu(_int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"], dtype))
+            h_q, h_s = _dyn_quant_rows(h)
+            x = x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"], w["fc2_b"], dtype)
+        else:
+            h = gelu(h @ w["fc1_w"] + w["fc1_b"])
+            x = x + (h @ w["fc2_w"] + w["fc2_b"])
+        return x, None
+
+    body = jax.checkpoint(lambda x, w: block(x, w)) if remat else block
+
+    def forward(c, xs, images):
+        bsz = images.shape[0]
+        x = images.astype(dtype).reshape(bsz, grid, cfg.patch_size, grid,
+                                         cfg.patch_size, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, grid * grid, ppc)
+        x = x @ c["patch_w"] + c["patch_b"]
+        x = jnp.concatenate(
+            [jnp.broadcast_to(c["cls_token"], (bsz, 1, cfg.width)), x], 1)
+        x = x + c["pos"]
+        x, _ = jax.lax.scan(body, x, xs)
+        x = _ln(x, c["fnorm_scale"], c["fnorm_bias"], eps)
+        return (x[:, 0] @ c["head_w"] + c["head_b"]).astype(jnp.float32)
+
+    jitted = jax.jit(forward)
+    return lambda images: jitted(consts, xs, images)

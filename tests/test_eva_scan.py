@@ -1,0 +1,71 @@
+"""Parity tests for the scan-over-layers EVA vision forward.
+
+The scanned forward must be numerically identical (up to dtype noise) to
+the unrolled flax EvaVisionTower, and the int8-quantized variant must stay
+directionally faithful (cosine) — it replaces the throughput role of
+reference extraction/video_features/extract_features.py:42-68.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hirest_tpu.config import EvaVisionConfig
+from hirest_tpu.models.eva_clip import EvaVisionTower
+from hirest_tpu.models.eva_scan import build_scanned_vision_apply
+from hirest_tpu.utils.init import shape_only_init
+
+TINY = EvaVisionConfig(image_size=28, layers=3, width=64, head_width=16,
+                       mlp_ratio=4.0, patch_size=14, embed_dim=32)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    tower = EvaVisionTower(TINY, dtype=jnp.float32)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(3, 28, 28, 3)), jnp.float32)
+    params = shape_only_init(tower, imgs[:1])
+    ref = np.asarray(tower.apply(params, imgs))
+    return params, imgs, ref
+
+
+def test_scanned_matches_unrolled_f32(tiny_setup):
+    params, imgs, ref = tiny_setup
+    apply = build_scanned_vision_apply(params, TINY, int8=False,
+                                       use_pallas=False, dtype=jnp.float32)
+    out = np.asarray(apply(imgs))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_scanned_bf16_close(tiny_setup):
+    params, imgs, ref = tiny_setup
+    apply = build_scanned_vision_apply(params, TINY, int8=False,
+                                       use_pallas=False, dtype=jnp.bfloat16)
+    out = np.asarray(apply(imgs))
+    cos = np.sum(out * ref, -1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1))
+    assert np.all(cos > 0.99), cos
+
+
+def test_scanned_int8_cosine(tiny_setup):
+    params, imgs, ref = tiny_setup
+    apply = build_scanned_vision_apply(params, TINY, int8=True,
+                                       use_pallas=False, dtype=jnp.bfloat16)
+    out = np.asarray(apply(imgs))
+    cos = np.sum(out * ref, -1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1))
+    assert np.all(cos > 0.98), cos
+
+
+def test_scanned_pallas_interpret(tiny_setup):
+    """The Pallas packed path (head_dim 128 after padding) inside the scan,
+    in interpret mode on CPU."""
+    from hirest_tpu.models.eva_pad import pad_vision_head_params
+
+    params, imgs, ref = tiny_setup
+    padded, padded_cfg = pad_vision_head_params(params, TINY, new_head=128)
+    apply = build_scanned_vision_apply(padded, padded_cfg, int8=False,
+                                       use_pallas=True, interpret=True,
+                                       dtype=jnp.float32)
+    out = np.asarray(apply(imgs))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
