@@ -251,7 +251,9 @@ def main():
     batches = [128, 256]
     use_pallas = "--no-pallas" not in sys.argv
     scan = "--unrolled" not in sys.argv
-    padded = "--no-padded-heads" not in sys.argv
+    # unpadded heads + the fused-qkv kernel measured fastest (BENCHLOG.md):
+    # 219.3 bf16 / 220.5 int8 vs 215.8 padded bf16
+    padded = "--padded-heads" in sys.argv
     for arg in sys.argv[1:]:
         if arg.startswith("--batch="):
             batches = [int(x) for x in arg.split("=")[1].split(",")]

@@ -85,13 +85,17 @@ def extract_video_features(
 
 def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
                      dtype_name: str = "bfloat16", use_pallas: bool = True,
-                     padded_heads: bool = True):
+                     padded_heads: bool = False, scan: bool = True,
+                     int8: bool = False):
     """Build (encode_image_fn, preprocess_fn) around the jitted EVA vision
     tower, loading converted weights when available.
 
-    Production defaults: Pallas fused attention + the head-padding identity
-    transform (88 -> 128 lanes, transpose-free packed kernel) — together
-    +29% measured over plain XLA on v5e."""
+    Production defaults (measured fastest, BENCHLOG.md): scan-over-layers
+    forward (one-block compile: seconds instead of minutes per shape) with
+    the fused-qkv Pallas attention kernel at the NATIVE head width 88 —
+    the 88->128 padding transform costs +15% FLOPs and is now opt-in.
+    `int8=True` selects the quantized throughput mode (weights per-channel,
+    activations per-row dynamic)."""
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +105,6 @@ def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     cfg = EvaVisionConfig()
-    tower = EvaVisionTower(cfg, dtype=dtype, use_pallas=use_pallas)
     ckpt = os.path.join(pretrained_dir, "eva_clip_psz14.pt")
     if os.path.exists(ckpt):
         from hirest_tpu.models.convert import convert_eva_vision, load_torch_ckpt
@@ -109,16 +112,25 @@ def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
         params = {"params": convert_eva_vision(load_torch_ckpt(ckpt))}
         print(f"Loaded EVA-CLIP vision tower from {ckpt}")
     else:
-        params = shape_only_init(tower, jnp.zeros((1, 224, 224, 3), dtype))
+        params = shape_only_init(EvaVisionTower(cfg),
+                                 jnp.zeros((1, 224, 224, 3), jnp.float32))
         print(f"WARNING: {ckpt} not found - vision tower is random-init")
     if padded_heads:
         from hirest_tpu.models.eva_pad import pad_vision_head_params
 
         params, cfg = pad_vision_head_params(params, cfg)
-        tower = EvaVisionTower(cfg, dtype=dtype, use_pallas=use_pallas)
+
+    if scan:
+        from hirest_tpu.models.eva_scan import build_scanned_vision_apply
+
+        apply = build_scanned_vision_apply(params, cfg, int8=int8,
+                                           use_pallas=use_pallas, dtype=dtype)
+        return (lambda im: apply(jnp.asarray(im, dtype))), preprocess_image
+
+    tower = EvaVisionTower(cfg, dtype=dtype, use_pallas=use_pallas)
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
-    apply = jax.jit(lambda p, im: tower.apply(p, im))
-    return (lambda im: apply(params, jnp.asarray(im, dtype))), preprocess_image
+    jitted = jax.jit(lambda p, im: tower.apply(p, im))
+    return (lambda im: jitted(params, jnp.asarray(im, dtype))), preprocess_image
 
 
 if __name__ == "__main__":
@@ -131,9 +143,12 @@ if __name__ == "__main__":
     p.add_argument("--pretrained_dir", default="./pretrained_weights")
     p.add_argument("--process_id", type=int, default=0)
     p.add_argument("--num_processes", type=int, default=1)
-    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="quantized throughput mode for the frozen tower")
     a = p.parse_args()
-    enc, pre = make_eva_encoder(a.pretrained_dir, use_pallas=a.use_pallas)
+    enc, pre = make_eva_encoder(a.pretrained_dir,
+                                use_pallas=not a.no_pallas, int8=a.int8)
     n = extract_video_features(a.frame_dir, a.out_dir, enc, pre, a.batch_size,
                                process_id=a.process_id,
                                num_processes=a.num_processes)

@@ -179,7 +179,8 @@ def preprocess_image(img, image_size: int = 224) -> np.ndarray:
 def build_eva_model_and_transforms(model_name: str = "EVA_CLIP_g_14",
                                    pretrained: str | None = None,
                                    dtype=jnp.bfloat16, use_pallas: bool = True,
-                                   padded_heads: bool = True,
+                                   padded_heads: bool = False,
+                                   scan: bool = True, int8: bool = False,
                                    text_config: EvaTextConfig | None = None,
                                    vision_config: EvaVisionConfig | None = None):
     """Factory with the reference's surface (EVA_clip/eva_clip.py:155-171):
@@ -226,13 +227,27 @@ def build_eva_model_and_transforms(model_name: str = "EVA_CLIP_g_14",
         vision_tower = EvaVisionTower(vision_cfg, dtype=dtype, use_pallas=use_pallas)
 
     text_params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), text_params)
-    vision_params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), vision_params)
     text_apply = jax.jit(lambda p, ids: text_tower.apply(p, ids))
-    vision_apply = jax.jit(lambda p, im: vision_tower.apply(p, im))
+
+    if scan:
+        # production image path: scan-over-layers + fused-qkv kernel
+        # (one-block compile; fastest measured config, BENCHLOG.md)
+        from hirest_tpu.models.eva_scan import build_scanned_vision_apply
+
+        scanned = build_scanned_vision_apply(vision_params, vision_cfg,
+                                             int8=int8, use_pallas=use_pallas,
+                                             dtype=dtype)
+        encode_image = lambda im: scanned(jnp.asarray(im, dtype))  # noqa: E731
+        vision_dev = vision_params
+    else:
+        vision_dev = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype),
+                                            vision_params)
+        vision_apply = jax.jit(lambda p, im: vision_tower.apply(p, im))
+        encode_image = lambda im: vision_apply(vision_dev, jnp.asarray(im, dtype))  # noqa: E731
 
     model = SimpleNamespace(
         encode_text=lambda ids: text_apply(text_params, jnp.asarray(ids)),
-        encode_image=lambda im: vision_apply(vision_params, jnp.asarray(im, dtype)),
-        text_params=text_params, vision_params=vision_params,
+        encode_image=encode_image,
+        text_params=text_params, vision_params=vision_dev,
         text_tower=text_tower, vision_tower=vision_tower)
     return model, preprocess_image

@@ -26,7 +26,8 @@ import numpy as np
 
 from hirest_tpu.config import EvaVisionConfig
 from hirest_tpu.models.layers import gelu, merge_heads, split_heads
-from hirest_tpu.ops.attention import fused_attention, fused_attention_packed
+from hirest_tpu.ops.attention import (fused_attention, fused_attention_packed,
+                                      fused_attention_qkv)
 
 
 def _ln(x, scale, bias, eps):
@@ -117,7 +118,9 @@ def build_scanned_vision_apply(params: dict,
     grid = cfg.image_size // cfg.patch_size
     ppc = cfg.patch_size * cfg.patch_size * 3
     eps = cfg.norm_eps
-    packed = use_pallas and head_dim % 128 == 0
+    # packed kernel needs a 128-aligned lane extent; head-groups are sized
+    # by _pick_heads_per_block (full row for EVA's unpadded 16x88=1408)
+    packed = use_pallas and (heads * head_dim) % 128 == 0
 
     # All weights travel as EXPLICIT jit arguments. Closing over them would
     # embed ~2 GB as HLO constants — compilation stalls for 10+ minutes
@@ -142,10 +145,7 @@ def build_scanned_vision_apply(params: dict,
     else:
         xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()}
 
-    def attn_core(q, k, v):
-        if packed:
-            return fused_attention_packed(q, k, v, scale, heads,
-                                          use_pallas=True, interpret=interpret)
+    def attn_core_split(q, k, v):
         out = fused_attention(split_heads(q, heads), split_heads(k, heads),
                               split_heads(v, heads), scale,
                               use_pallas=use_pallas, interpret=interpret)
@@ -158,10 +158,15 @@ def build_scanned_vision_apply(params: dict,
             qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
         else:
             qkv = h @ w["qkv_w"]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q + w["q_bias"]
-        v = v + w["v_bias"]
-        att = attn_core(q, k, v).astype(dtype)
+        if packed:
+            # fused-qkv kernel: q/k/v thirds and per-head columns sliced
+            # in VMEM, q/v biases added in-kernel — no split copies
+            att = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"], scale,
+                                      heads, interpret=interpret)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            att = attn_core_split(q + w["q_bias"], k, v + w["v_bias"])
+        att = att.astype(dtype)
         if int8:
             a_q, a_s = _dyn_quant_rows(att)
             x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)

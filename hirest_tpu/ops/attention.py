@@ -120,21 +120,85 @@ def _pallas_attention(q, k, v, scale: float, key_mask=None,
     return out
 
 
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        heads: int, d: int):
+    """One (batch, head-group) block: refs [1, S, heads*d]; per-head
+    attention computed on in-VMEM column slices (no HBM transposes)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jnp.dot(q[:, sl], k[:, sl].T,
+                    preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o_ref[0, :, sl] = jnp.dot(p, v[:, sl],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(o_ref.dtype)
+
+
+def _attn_kernel_packed_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *,
+                               scale: float, heads: int, d: int):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    valid = m_ref[0] > 0
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jnp.dot(q[:, sl], k[:, sl].T,
+                    preferred_element_type=jnp.float32) * scale
+        s = jnp.where(valid[None, :], s, jnp.float32(-1e30))
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o_ref[0, :, sl] = jnp.dot(p, v[:, sl],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(o_ref.dtype)
+
+
+def _pick_heads_per_block(sq: int, sk: int, d: int, num_heads: int,
+                          itemsize: int) -> int:
+    """Smallest head-group whose lane extent (hpb*d) is 128-aligned and
+    whose VMEM block set (q/k/v/o + f32 scores, double-buffered) stays
+    within the ~16 MB scoped-vmem budget. Mosaic can only block the lane
+    dim at 128-multiples, so unaligned head widths (EVA's 88) force larger
+    groups — up to the full row (lane extent H*D), with per-head slices
+    taken in-VMEM. Measured on the EVA shapes: group size is throughput-
+    neutral (190-199 fps across hpb 1..16), so fit is the only criterion."""
+    budget = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+    for hpb in range(1, num_heads + 1):
+        if num_heads % hpb or (hpb * d) % 128:
+            continue
+        io = 2 * (2 * sk + 2 * sq) * hpb * d * itemsize  # double-buffered
+        scratch = 4 * _round_up(sq, 8) * _round_up(sk, 128)  # f32 scores
+        if io + scratch <= budget:
+            return hpb
+    return num_heads  # full row: lane extent H*D (asserted by the caller)
+
+
 def _pallas_attention_packed(q, k, v, scale: float, num_heads: int,
-                             key_mask=None, interpret: bool = False):
+                             key_mask=None, interpret: bool = False,
+                             heads_per_block: int | None = None):
     """Packed-layout attention: q [B, Sq, H*D], k/v [B, Sk, H*D].
 
-    Heads are sliced inside the grid via the BlockSpec index map, so the
-    [B,S,H*D] -> [B,H,S,D] transposes (two full-tensor HBM round-trips per
-    layer) never materialize."""
+    Heads are sliced inside the kernel from a [1, S, hpb*D] VMEM block, so
+    the [B,S,H*D] -> [B,H,S,D] transposes (two full-tensor HBM round-trips
+    per layer) never materialize, and grouping heads_per_block heads per
+    grid cell keeps the DMA large and the cell count small."""
     b, sq, hd = q.shape
     sk = k.shape[1]
     d = hd // num_heads
+    hpb = heads_per_block or _pick_heads_per_block(sq, sk, d, num_heads,
+                                                   q.dtype.itemsize)
+    assert num_heads % hpb == 0, (num_heads, hpb)
+    assert (hpb * d) % 128 == 0 or interpret, (
+        f"packed kernel needs a 128-aligned lane extent; heads_per_block="
+        f"{hpb} x head_dim={d} is not — pad heads (eva_pad) or use the "
+        f"[B,H,S,D] path")
+    groups = num_heads // hpb
 
     vmem = pltpu.VMEM if pltpu else None
-    q_spec = pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, j),
+    q_spec = pl.BlockSpec((1, sq, hpb * d), lambda i, j: (i, 0, j),
                           memory_space=vmem)
-    kv_spec = pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, j),
+    kv_spec = pl.BlockSpec((1, sk, hpb * d), lambda i, j: (i, 0, j),
                            memory_space=vmem)
     sq_pad, sk_pad, d_pad = (_round_up(sq, 16), _round_up(sk, 16),
                              _round_up(d, 128))
@@ -144,21 +208,23 @@ def _pallas_attention_packed(q, k, v, scale: float, num_heads: int,
         transcendentals=b * num_heads * sq_pad * sk_pad,
     )
     if key_mask is None:
-        kernel = functools.partial(_attn_kernel, scale=scale)
+        kernel = functools.partial(_attn_kernel_packed, scale=scale,
+                                   heads=hpb, d=d)
         return pl.pallas_call(
             kernel,
-            grid=(b, num_heads),
+            grid=(b, groups),
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=q_spec,
             out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
             interpret=interpret,
             cost_estimate=cost,
         )(q, k, v)
-    kernel = functools.partial(_attn_kernel_masked, scale=scale)
+    kernel = functools.partial(_attn_kernel_packed_masked, scale=scale,
+                               heads=hpb, d=d)
     m_spec = pl.BlockSpec((1, sk), lambda i, j: (i, 0), memory_space=vmem)
     return pl.pallas_call(
         kernel,
-        grid=(b, num_heads),
+        grid=(b, groups),
         in_specs=[q_spec, kv_spec, kv_spec, m_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
@@ -167,15 +233,84 @@ def _pallas_attention_packed(q, k, v, scale: float, num_heads: int,
     )(q, k, v, key_mask.astype(jnp.int32))
 
 
+def _attn_kernel_qkvfused(qkv_ref, qb_ref, vb_ref, o_ref, *, scale: float,
+                          heads: int, d: int):
+    """One batch row of the FUSED qkv tensor: qkv_ref [1, S, 3*H*D]
+    (q | k | v thirds), biases [H*D]. Slicing q/k/v and per-head columns
+    happens in VMEM, so the host-side jnp.split (three full-tensor HBM
+    copies per layer) and the q/v bias-add passes disappear."""
+    hd = heads * d
+    row = qkv_ref[0]
+    # biases are added on the 128-aligned [S, H*D] thirds: Mosaic rejects
+    # broadcasts at unaligned (e.g. 88-wide head) lane offsets
+    q_all = row[:, :hd] + qb_ref[...][None, :]
+    k_all = row[:, hd: 2 * hd]
+    v_all = row[:, 2 * hd:] + vb_ref[...][None, :]
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jnp.dot(q_all[:, sl], k_all[:, sl].T,
+                    preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(row.dtype)
+        o_ref[0, :, sl] = jnp.dot(p, v_all[:, sl],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(o_ref.dtype)
+
+
+def fused_attention_qkv(qkv, q_bias, v_bias, scale: float, num_heads: int,
+                        use_pallas: bool = True, interpret: bool = False):
+    """Self-attention straight off the fused qkv projection output:
+    qkv [B, S, 3*H*D] (thirds q|k|v), q_bias/v_bias [H*D] (EVA's q/v-only
+    bias quirk, zeros elsewhere) -> [B, S, H*D].
+
+    The whole row lives in one VMEM block per grid cell, so no split
+    copies, no bias-add passes, and one operand for the custom call
+    (fewer layout constraints on the producing matmul)."""
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+
+    if not use_pallas:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q + q_bias
+        v = v + v_bias
+        return fused_attention_packed(q, k, v, scale, num_heads,
+                                      use_pallas=False)
+
+    vmem = pltpu.VMEM if pltpu else None
+    qkv_spec = pl.BlockSpec((1, s, three_hd), lambda i: (i, 0, 0),
+                            memory_space=vmem)
+    bias_spec = pl.BlockSpec((hd,), lambda i: (0,), memory_space=vmem)
+    o_spec = pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0), memory_space=vmem)
+    s_pad, d_pad = _round_up(s, 16), _round_up(d, 128)
+    cost = pl.CostEstimate(
+        flops=2 * b * num_heads * (s_pad * s_pad * d_pad * 2),
+        bytes_accessed=(b * s * three_hd + b * s * hd) * qkv.dtype.itemsize,
+        transcendentals=b * num_heads * s_pad * s_pad,
+    )
+    kernel = functools.partial(_attn_kernel_qkvfused, scale=scale,
+                               heads=num_heads, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[qkv_spec, bias_spec, bias_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), qkv.dtype),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(qkv, q_bias.astype(qkv.dtype), v_bias.astype(qkv.dtype))
+
+
 def fused_attention_packed(q, k, v, scale: float, num_heads: int,
                            key_mask=None, use_pallas: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           heads_per_block: int | None = None):
     """Attention over packed [B, S, H*D] tensors (no head transpose).
 
     key_mask: optional [B, Sk]; nonzero marks a valid key."""
     if use_pallas:
         return _pallas_attention_packed(q, k, v, scale, num_heads,
-                                        key_mask=key_mask, interpret=interpret)
+                                        key_mask=key_mask, interpret=interpret,
+                                        heads_per_block=heads_per_block)
     b, sq, hd = q.shape
     sk = k.shape[1]
     d = hd // num_heads

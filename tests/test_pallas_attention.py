@@ -72,6 +72,28 @@ def test_packed_pallas_key_mask_and_rectangular():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("hpb", [1, 2, 4])
+def test_packed_head_groups_match(hpb):
+    """heads_per_block groups heads into one VMEM block per grid cell
+    (fewer cells, contiguous DMAs); every grouping must agree."""
+    from hirest_tpu.ops.attention import fused_attention_packed
+
+    rng = np.random.default_rng(11)
+    b, s, h, d = 2, 19, 4, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+               for _ in range(3))
+    key_mask = jnp.asarray((np.arange(s) < 13)[None].repeat(b, 0), jnp.int32)
+    scale = d ** -0.5
+    want = np.asarray(fused_attention_packed(q, k, v, scale, h,
+                                             key_mask=key_mask,
+                                             use_pallas=False))
+    got = np.asarray(fused_attention_packed(q, k, v, scale, h,
+                                            key_mask=key_mask, use_pallas=True,
+                                            interpret=True,
+                                            heads_per_block=hpb))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_vision_block_pallas_flag_matches():
     from hirest_tpu.config import EvaVisionConfig
     from hirest_tpu.models.eva_clip import EvaVisionTower
