@@ -97,15 +97,22 @@ def test_greedy_decode_matches_uncached_rollout(hf_model):
     enc_out = WhisperEncoder(CFG).apply(enc_params,
                                         jnp.asarray(mel.transpose(0, 2, 1)))
 
-    # host rollout: full-prefix decode each step
-    ids = prompt.copy()
+    # host rollout: full-prefix decode each step. The buffer is kept at a
+    # FIXED width (positions past the frontier hold eot filler) so the 8
+    # steps share one jit trace — the causal mask makes position t's logits
+    # independent of anything after t.
+    plen = prompt.shape[1]
+    ids = np.full((2, plen + max_new), eot, dtype=np.int32)
+    ids[:, :plen] = prompt
     done = np.zeros(2, bool)
-    for _ in range(max_new):
-        logits = np.asarray(dec.apply(dec_params, jnp.asarray(ids), enc_out))
-        nxt = logits[:, -1].argmax(-1).astype(np.int32)
+    apply = jax.jit(lambda ids: dec.apply(dec_params, ids, enc_out))
+    for t in range(max_new):
+        logits = np.asarray(apply(jnp.asarray(ids)))
+        nxt = logits[:, plen + t - 1].argmax(-1).astype(np.int32)
         nxt = np.where(done, eot, nxt)
         done |= nxt == eot
-        ids = np.concatenate([ids, nxt[:, None]], axis=1)
+        ids[:, plen + t] = nxt
+    ids = ids[:, : plen + max_new]
 
     got = greedy_decode(dec, dec_params, enc_out, prompt,
                         max_new_tokens=max_new, eot_id=eot)
