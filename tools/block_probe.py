@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Block-level probe for the scanned EVA trunk: per-variant timing + HLO.
+
+Times the 40-layer block stack (no patch embed / head) under structural
+variants to attribute the qkv-matmul slowdown (BENCHLOG.md device profile:
+qkv ~62% MFU vs fc1/fc2 ~93% at identical M/K/N):
+
+  base        — production block (fused qkv matmul -> Pallas attention)
+  noattn      — attention replaced by q3+k3+v3 (all qkv columns stay live,
+                no Pallas call; isolates the custom call's effect)
+  barrier-ln  — optimization_barrier between LN1 and the qkv matmul
+                (blocks producer fusion into the dot)
+  split3      — q/k/v as three separate matmuls feeding the packed kernel
+  attn-xla    — no Pallas anywhere (XLA attention reference)
+
+Each variant is lowered + compiled explicitly; the optimized HLO text is
+saved to --hlodir so profiler fusion names can be matched to their
+contents. Run under the axon tunnel (real chip).
+
+Usage: python tools/block_probe.py [--variants base,noattn,...] [--int8]
+       [--iters 4] [--batch 128] [--trace base]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+L = 40
+S = 257
+C = 1408
+HEADS = 16
+D = 88
+MLP = 6144
+EPS = 1e-6
+SCALE = D ** -0.5
+
+
+def host_stacked(rng):
+    g = lambda *s: rng.standard_normal(s, dtype=np.float32) * 0.02
+    return {
+        "norm1_scale": np.ones((L, C), np.float32),
+        "norm1_bias": np.zeros((L, C), np.float32),
+        "norm2_scale": np.ones((L, C), np.float32),
+        "norm2_bias": np.zeros((L, C), np.float32),
+        "qkv_w": g(L, C, 3 * C),
+        "q_bias": g(L, C),
+        "v_bias": g(L, C),
+        "out_w": g(L, C, C),
+        "out_b": g(L, C),
+        "fc1_w": g(L, C, MLP),
+        "fc1_b": g(L, MLP),
+        "fc2_w": g(L, MLP, C),
+        "fc2_b": g(L, C),
+    }
+
+
+def build(variant: str, int8: bool, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from hirest_tpu.models.eva_scan import (_dyn_quant_rows, _int8_mm, _ln,
+                                            _quantize_stacked)
+    from hirest_tpu.models.layers import gelu
+    from hirest_tpu.ops.attention import (fused_attention_packed,
+                                          fused_attention_qkv)
+
+    rng = np.random.default_rng(0)
+    stacked = host_stacked(rng)
+    dtype = jnp.bfloat16
+
+    if int8:
+        xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()
+              if not k.endswith("_w")}
+        for name in ("qkv", "out", "fc1", "fc2"):
+            q, s = _quantize_stacked(stacked[name + "_w"])
+            xs[name + "_wq"], xs[name + "_ws"] = q, s
+    else:
+        xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()}
+
+    def project_qkv(h, w):
+        if int8:
+            h_q, h_s = _dyn_quant_rows(h)
+            return _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
+        return h @ w["qkv_w"]
+
+    def mm(x, w, name):
+        if int8:
+            x_q, x_s = _dyn_quant_rows(x)
+            return _int8_mm(x_q, x_s, w[name + "_wq"], w[name + "_ws"],
+                            w[name + "_b"], dtype)
+        return x @ w[name + "_w"] + w[name + "_b"]
+
+    def block(x, w):
+        h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
+        if variant == "barrier-ln":
+            h = jax.lax.optimization_barrier(h)
+        if variant == "split3":
+            wq, wk, wv = jnp.split(w["qkv_w"], 3, axis=-1)
+            q = (h @ wq + w["q_bias"]).astype(dtype)
+            k = (h @ wk).astype(dtype)
+            v = (h @ wv + w["v_bias"]).astype(dtype)
+            att = fused_attention_packed(q, k, v, SCALE, HEADS)
+        else:
+            qkv = project_qkv(h, w)
+            if variant == "noattn":
+                # relu + grouped-sum keeps every qkv column live while
+                # blocking XLA's slice-of-dot / add-of-dots rewrites (a
+                # plain sum of thirds algebraically folds to one smaller dot)
+                hd = HEADS * D
+                b_, s_ = qkv.shape[:2]
+                att = (jax.nn.relu(qkv).reshape(b_, s_, 3, hd).sum(2)
+                       + w["q_bias"] + w["v_bias"])
+            elif variant == "attn-xla":
+                att = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
+                                          SCALE, HEADS, use_pallas=False)
+            else:  # base, barrier-ln
+                if variant == "barrier-qkv":
+                    qkv = jax.lax.optimization_barrier(qkv)
+                att = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
+                                          SCALE, HEADS)
+        att = att.astype(dtype)
+        x = x + mm(att, w, "out")
+        h = _ln(x, w["norm2_scale"], w["norm2_bias"], EPS)
+        h = gelu(mm(h, w, "fc1"))
+        x = x + mm(h, w, "fc2")
+        return x, None
+
+    def forward(x, xs):
+        y, _ = jax.lax.scan(block, x, xs)
+        return y
+
+    x = jnp.asarray(rng.standard_normal((batch, S, C), dtype=np.float32)
+                    * 0.2, dtype)
+    return forward, x, xs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", type=str,
+                    default="base,noattn,barrier-ln,split3")
+    ap.add_argument("--int8", action="store_true",
+                    help="run int8 flavors of the listed variants")
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--hlodir", type=str, default="/tmp/blockhlo")
+    ap.add_argument("--trace", type=str, default="",
+                    help="variant name to trace with jax.profiler")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    os.makedirs(args.hlodir, exist_ok=True)
+    print(f"# devices: {jax.devices()}", flush=True)
+
+    for variant in args.variants.split(","):
+        tag = variant + ("-int8" if args.int8 else "")
+        try:
+            forward, x, xs = build(variant, args.int8, args.batch)
+            t0 = time.perf_counter()
+            lowered = jax.jit(forward).lower(x, xs)
+            compiled = lowered.compile()
+            compile_s = time.perf_counter() - t0
+            with open(os.path.join(args.hlodir, tag + ".hlo"), "w") as f:
+                f.write(compiled.as_text())
+            np.asarray(compiled(x, xs))  # warm
+            start = time.perf_counter()
+            out = None
+            for _ in range(args.iters):
+                out = compiled(x, xs)
+            np.asarray(out)
+            dt = (time.perf_counter() - start) / args.iters
+            fps = args.batch / dt
+            print(f"{tag:16s} ms/call={dt * 1e3:8.1f}  fps-equiv={fps:6.1f}"
+                  f"  compile={compile_s:.1f}s", flush=True)
+            if args.trace == variant:
+                tdir = os.path.join(args.hlodir, "trace-" + tag)
+                with jax.profiler.trace(tdir):
+                    for _ in range(2):
+                        np.asarray(compiled(x, xs))
+                print(f"# trace -> {tdir}", flush=True)
+        except Exception as e:
+            print(f"{tag:16s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,15 +55,16 @@ def build_case(name, batch, k, n, int8, flat):
                                       preferred_element_type=jnp.int32)
             out = acc.astype(jnp.float32) * s * wdict["ws"]
             out = out.astype(jnp.bfloat16)
-            # keep carry shape: fold back to [.., k] with a cheap slice/pad
-            carry = carry + out[..., :k] if n >= k else carry.at[..., :n].add(out)
+            # fold ALL output columns into the carry (a sliced fold lets XLA
+            # dead-code-eliminate the unused columns of the matmul)
+            carry = carry + jax.nn.relu(out).sum(-1, keepdims=True)
             return carry, None
     else:
         xs = {"w": jnp.asarray(w, jnp.bfloat16)}
 
         def body(carry, wdict):
             out = carry @ wdict["w"]
-            carry = carry + out[..., :k] if n >= k else carry.at[..., :n].add(out)
+            carry = carry + jax.nn.relu(out).sum(-1, keepdims=True)
             return carry, None
 
     @jax.jit
