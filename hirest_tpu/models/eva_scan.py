@@ -100,7 +100,7 @@ def build_scanned_vision_apply(params: dict,
                                cfg: EvaVisionConfig = EvaVisionConfig(),
                                *, int8: bool = False, use_pallas: bool = True,
                                dtype=jnp.bfloat16, interpret: bool = False,
-                               remat: bool = False):
+                               remat: bool = False, fused_quant: bool = False):
     """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
     block stack runs under `lax.scan` (one-block compile time).
 
@@ -151,12 +151,23 @@ def build_scanned_vision_apply(params: dict,
                               use_pallas=use_pallas, interpret=interpret)
         return merge_heads(out)
 
+    # fused LN/gelu + rowwise-quant Pallas kernels: one HBM read + an int8
+    # write per site instead of XLA's separate reduce + map passes
+    fq = fused_quant and int8
+    if fq:
+        from hirest_tpu.ops.quant import act_quant, ln_quant
+
     def block(x, w):
-        h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
-        if int8:
+        if fq:
+            h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], eps,
+                                interpret=interpret)
+            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
+        elif int8:
+            h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
             h_q, h_s = _dyn_quant_rows(h)
             qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
         else:
+            h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
             qkv = h @ w["qkv_w"]
         if packed:
             # fused-qkv kernel: q/k/v thirds and per-head columns sliced
@@ -167,18 +178,24 @@ def build_scanned_vision_apply(params: dict,
             q, k, v = jnp.split(qkv, 3, axis=-1)
             att = attn_core_split(q + w["q_bias"], k, v + w["v_bias"])
         att = att.astype(dtype)
-        if int8:
+        if fq:
+            a_q, a_s = act_quant(att, interpret=interpret)
+            x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)
+            h_q, h_s = ln_quant(x, w["norm2_scale"], w["norm2_bias"], eps,
+                                interpret=interpret)
+            h = _int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"], dtype)
+            h_q, h_s = act_quant(h, act="gelu", interpret=interpret)
+            x = x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"], w["fc2_b"], dtype)
+        elif int8:
             a_q, a_s = _dyn_quant_rows(att)
             x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)
-        else:
-            x = x + (att @ w["out_w"] + w["out_b"])
-        h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
-        if int8:
+            h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
             h_q, h_s = _dyn_quant_rows(h)
             h = gelu(_int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"], dtype))
             h_q, h_s = _dyn_quant_rows(h)
             x = x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"], w["fc2_b"], dtype)
         else:
+            h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
             h = gelu(h @ w["fc1_w"] + w["fc1_b"])
             x = x + (h @ w["fc2_w"] + w["fc2_b"])
         return x, None

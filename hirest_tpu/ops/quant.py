@@ -12,8 +12,16 @@ This is an opt-in throughput mode (`quantize="int8"` on the tower /
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # importable on CPU too, but guard for safety
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
 
 
 def quantize_weight(w):
@@ -46,6 +54,95 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :]
     return out.astype(out_dtype).reshape(shape[:-1] + (w_q.shape[1],))
+
+
+# --- fused rowwise quantization kernels (Pallas) -------------------------
+#
+# The int8 scan path (models/eva_scan.py) quantizes activations at four
+# sites per layer. Left to XLA, each site costs a reduce pass (row max) plus
+# a map pass (round/clip/store) over the full activation — ~+50 ms/call of
+# pure bandwidth on the EVA trunk (BENCHLOG.md int8 profile). These kernels
+# fuse the producer op (LayerNorm / exact-erf GELU) with the row-scale
+# reduction and the int8 store into ONE VMEM-resident pass: the activation
+# is read once from HBM and written once as int8 (half the bytes).
+
+
+def _pick_row_block(seq: int, c: int, budget: int = 10 * 1024 * 1024) -> int:
+    """Rows per grid cell: f32 temp + double-buffered bf16 in / int8 out
+    must fit the ~16 MB scoped-VMEM budget (headroom for regalloc)."""
+    per_row = c * (4 + 2 * 2 + 2 * 1) + 8  # f32 temp, 2x bf16 in, 2x int8 out
+    br = max(32, min(seq, budget // per_row))
+    return min(seq, (br // 32) * 32)  # int8 store tile wants 32-row multiples
+
+
+def _ln_quant_kernel(x_ref, g_ref, b_ref, q_ref, s_ref, *, eps: float):
+    x = x_ref[0].astype(jnp.float32)
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    var = (xc * xc).mean(-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps) * g_ref[...][None, :] + b_ref[...][None, :]
+    s = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+    q_ref[0] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+    s_ref[0] = s
+
+
+def _act_quant_kernel(x_ref, q_ref, s_ref, *, act: str):
+    y = x_ref[0].astype(jnp.float32)
+    if act == "gelu":  # exact erf form (models/layers.gelu parity)
+        y = jax.nn.gelu(y, approximate=False)
+    s = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+    q_ref[0] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+    s_ref[0] = s
+
+
+def _row_specs(b: int, seq: int, c: int):
+    br = _pick_row_block(seq, c)
+    vmem = pltpu.VMEM if pltpu else None
+    x_spec = pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0),
+                          memory_space=vmem)
+    s_spec = pl.BlockSpec((1, br, 1), lambda i, j: (i, j, 0),
+                          memory_space=vmem)
+    grid = (b, pl.cdiv(seq, br))
+    return grid, x_spec, s_spec, vmem
+
+
+def ln_quant(x, g, b, eps: float, *, interpret: bool = False):
+    """LayerNorm + dynamic per-row int8 quantization in one pass.
+
+    x [B, S, C] (bf16/f32), g/b [C] -> (q int8 [B, S, C], s f32 [B, S, 1])
+    with q*s ~= LN(x). The LN result never round-trips through bf16 (the
+    unfused path casts to bf16 between LN and quantization), so this is
+    numerically at least as faithful as _ln + _dyn_quant_rows.
+    """
+    bsz, seq, c = x.shape
+    grid, x_spec, s_spec, vmem = _row_specs(bsz, seq, c)
+    g_spec = pl.BlockSpec((c,), lambda i, j: (0,), memory_space=vmem)
+    return pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=eps),
+        grid=grid,
+        in_specs=[x_spec, g_spec, g_spec],
+        out_specs=[x_spec, s_spec],
+        out_shape=[jax.ShapeDtypeStruct((bsz, seq, c), jnp.int8),
+                   jax.ShapeDtypeStruct((bsz, seq, 1), jnp.float32)],
+        interpret=interpret,
+    )(x, g.astype(jnp.float32), b.astype(jnp.float32))
+
+
+def act_quant(x, *, act: str = "none", interpret: bool = False):
+    """Optional activation (exact-erf gelu) + per-row int8 quantization.
+
+    x [B, S, C] -> (q int8 [B, S, C], s f32 [B, S, 1]), q*s ~= act(x)."""
+    bsz, seq, c = x.shape
+    grid, x_spec, s_spec, _ = _row_specs(bsz, seq, c)
+    return pl.pallas_call(
+        functools.partial(_act_quant_kernel, act=act),
+        grid=grid,
+        in_specs=[x_spec],
+        out_specs=[x_spec, s_spec],
+        out_shape=[jax.ShapeDtypeStruct((bsz, seq, c), jnp.int8),
+                   jax.ShapeDtypeStruct((bsz, seq, 1), jnp.float32)],
+        interpret=interpret,
+    )(x)
 
 
 class QuantDense:

@@ -1,0 +1,89 @@
+"""Parity tests for the fused rowwise quantization kernels (ops/quant.py).
+
+ln_quant / act_quant fuse LayerNorm / exact-erf GELU with dynamic per-row
+int8 quantization in one Pallas pass; they must reproduce the unfused
+_ln + _dyn_quant_rows composition (models/eva_scan.py) up to one
+quantization bin (the fused path skips the bf16 round-trip between the
+producer and the quantizer, so exact bit equality is not expected).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hirest_tpu.config import EvaVisionConfig
+from hirest_tpu.models.eva_scan import (_dyn_quant_rows, _ln,
+                                        build_scanned_vision_apply)
+from hirest_tpu.models.layers import gelu
+from hirest_tpu.ops.quant import act_quant, ln_quant
+
+EPS = 1e-6
+
+
+def _dequant(q, s):
+    return np.asarray(q, np.float32) * np.asarray(s, np.float32)
+
+
+@pytest.mark.parametrize("shape", [(2, 7, 256), (1, 33, 384)])
+def test_ln_quant_matches_unfused(shape):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape) * 2.0, jnp.float32)
+    g = jnp.asarray(rng.normal(size=shape[-1]).astype(np.float32) * 0.5 + 1.0)
+    b = jnp.asarray(rng.normal(size=shape[-1]).astype(np.float32) * 0.1)
+
+    q, s = ln_quant(x, g, b, EPS, interpret=True)
+    assert q.dtype == jnp.int8 and s.shape == shape[:2] + (1,)
+
+    ref = np.asarray(_ln(x, g, b, EPS))
+    got = _dequant(q, s)
+    # one quantization bin = s per element
+    assert np.all(np.abs(got - ref) <= np.asarray(s) + 1e-6)
+    # and the int8 codes match the reference quantizer almost everywhere
+    q_ref, s_ref = _dyn_quant_rows(jnp.asarray(ref))
+    match = np.mean(np.asarray(q) == np.asarray(q_ref))
+    assert match > 0.99, match
+
+
+def test_act_quant_gelu_matches_unfused():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 9, 256)) * 3.0, jnp.bfloat16)
+
+    q, s = act_quant(x, act="gelu", interpret=True)
+    ref = np.asarray(gelu(x.astype(jnp.float32)))
+    got = _dequant(q, s)
+    assert np.all(np.abs(got - ref) <= np.asarray(s) + 1e-6)
+
+
+def test_act_quant_identity_matches_dyn_quant_rows():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(3, 5, 128)), jnp.float32)
+    q, s = act_quant(x, interpret=True)
+    q_ref, s_ref = _dyn_quant_rows(x)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)
+
+
+def test_scanned_int8_fused_quant_matches_unfused():
+    """End-to-end: the fused-quant scan forward tracks the unfused int8
+    scan closely (same quantization granularity, no bf16 round-trip)."""
+    tiny = EvaVisionConfig(image_size=28, layers=3, width=64, head_width=16,
+                           mlp_ratio=4.0, patch_size=14, embed_dim=32)
+    from hirest_tpu.models.eva_clip import EvaVisionTower
+    from hirest_tpu.utils.init import shape_only_init
+
+    tower = EvaVisionTower(tiny, dtype=jnp.float32)
+    imgs = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 28, 28, 3)), jnp.float32)
+    params = shape_only_init(tower, imgs[:1])
+
+    base = build_scanned_vision_apply(params, tiny, int8=True,
+                                      use_pallas=False, dtype=jnp.bfloat16)
+    fused = build_scanned_vision_apply(params, tiny, int8=True,
+                                       use_pallas=False, dtype=jnp.bfloat16,
+                                       fused_quant=True, interpret=True)
+    a = np.asarray(base(imgs))
+    b = np.asarray(fused(imgs))
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                               * np.linalg.norm(b, axis=-1))
+    assert np.all(cos > 0.995), cos
