@@ -97,7 +97,8 @@ def build_host_params(padded_heads: bool = True):
 
 
 def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
-                    scan: bool = True, dtype_name: str = "bfloat16"):
+                    scan: bool = True, dtype_name: str = "bfloat16",
+                    fused_quant: bool = False):
     """-> apply(images) with weights staged on device once (bf16/int8)."""
     import jax
     import jax.numpy as jnp
@@ -107,7 +108,8 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
         from hirest_tpu.models.eva_scan import build_scanned_vision_apply
 
         return build_scanned_vision_apply(params, cfg, int8=int8,
-                                          use_pallas=use_pallas, dtype=dtype)
+                                          use_pallas=use_pallas, dtype=dtype,
+                                          fused_quant=fused_quant)
     if int8:
         from hirest_tpu.models.eva_quant import build_int8_vision_apply
 
@@ -274,11 +276,13 @@ def main():
     print(f"# host params built in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    fused_quant = "--fused-quant" in sys.argv
     best, best_cfg = 0.0, {}
     for int8 in modes:
         try:
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
-                                    int8=int8, scan=scan)
+                                    int8=int8, scan=scan,
+                                    fused_quant=fused_quant and int8)
         except Exception as e:
             print(f"# build int8={int8} failed: {e}", file=sys.stderr)
             continue

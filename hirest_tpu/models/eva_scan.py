@@ -169,7 +169,13 @@ def build_scanned_vision_apply(params: dict,
         else:
             h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
             qkv = h @ w["qkv_w"]
-        if packed:
+        if packed and fq:
+            # attention with the quant epilogue: int8 codes + row scales
+            # come straight out of the kernel (no bf16 HBM round-trip)
+            a_q, a_s = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
+                                           scale, heads, interpret=interpret,
+                                           quant_out=True)
+        elif packed:
             # fused-qkv kernel: q/k/v thirds and per-head columns sliced
             # in VMEM, q/v biases added in-kernel — no split copies
             att = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"], scale,
@@ -177,9 +183,9 @@ def build_scanned_vision_apply(params: dict,
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             att = attn_core_split(q + w["q_bias"], k, v + w["v_bias"])
-        att = att.astype(dtype)
         if fq:
-            a_q, a_s = act_quant(att, interpret=interpret)
+            if not packed:
+                a_q, a_s = act_quant(att.astype(dtype), interpret=interpret)
             x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)
             h_q, h_s = ln_quant(x, w["norm2_scale"], w["norm2_bias"], eps,
                                 interpret=interpret)
@@ -187,7 +193,7 @@ def build_scanned_vision_apply(params: dict,
             h_q, h_s = act_quant(h, act="gelu", interpret=interpret)
             x = x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"], w["fc2_b"], dtype)
         elif int8:
-            a_q, a_s = _dyn_quant_rows(att)
+            a_q, a_s = _dyn_quant_rows(att.astype(dtype))
             x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)
             h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
             h_q, h_s = _dyn_quant_rows(h)
@@ -195,6 +201,7 @@ def build_scanned_vision_apply(params: dict,
             h_q, h_s = _dyn_quant_rows(h)
             x = x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"], w["fc2_b"], dtype)
         else:
+            x = x + (att.astype(dtype) @ w["out_w"] + w["out_b"])
             h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
             h = gelu(h @ w["fc1_w"] + w["fc1_b"])
             x = x + (h @ w["fc2_w"] + w["fc2_b"])

@@ -256,8 +256,34 @@ def _attn_kernel_qkvfused(qkv_ref, qb_ref, vb_ref, o_ref, *, scale: float,
                                   ).astype(o_ref.dtype)
 
 
+def _attn_kernel_qkvfused_quant(qkv_ref, qb_ref, vb_ref, q_ref, s_ref,
+                                acc_ref, *, scale: float, heads: int, d: int):
+    """fused-qkv attention with an int8 quantization epilogue: per-head
+    outputs accumulate in an f32 VMEM scratch, then one per-row dynamic
+    int8 quantization (scale over the full H*D row, matching
+    eva_scan._dyn_quant_rows) writes q int8 + s f32 — the attention output
+    never round-trips to HBM in bf16."""
+    hd = heads * d
+    row = qkv_ref[0]
+    q_all = row[:, :hd] + qb_ref[...][None, :]
+    k_all = row[:, hd: 2 * hd]
+    v_all = row[:, 2 * hd:] + vb_ref[...][None, :]
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jnp.dot(q_all[:, sl], k_all[:, sl].T,
+                    preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(row.dtype)
+        acc_ref[:, sl] = jnp.dot(p, v_all[:, sl],
+                                 preferred_element_type=jnp.float32)
+    y = acc_ref[...]
+    sc = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+    q_ref[0] = jnp.clip(jnp.round(y / sc), -127, 127).astype(jnp.int8)
+    s_ref[0] = sc
+
+
 def fused_attention_qkv(qkv, q_bias, v_bias, scale: float, num_heads: int,
-                        use_pallas: bool = True, interpret: bool = False):
+                        use_pallas: bool = True, interpret: bool = False,
+                        quant_out: bool = False):
     """Self-attention straight off the fused qkv projection output:
     qkv [B, S, 3*H*D] (thirds q|k|v), q_bias/v_bias [H*D] (EVA's q/v-only
     bias quirk, zeros elsewhere) -> [B, S, H*D].
@@ -269,6 +295,8 @@ def fused_attention_qkv(qkv, q_bias, v_bias, scale: float, num_heads: int,
     hd = three_hd // 3
     d = hd // num_heads
 
+    assert not (quant_out and not use_pallas), \
+        "quant_out is a Pallas-kernel epilogue (use interpret=True on CPU)"
     if not use_pallas:
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q + q_bias
@@ -287,6 +315,24 @@ def fused_attention_qkv(qkv, q_bias, v_bias, scale: float, num_heads: int,
         bytes_accessed=(b * s * three_hd + b * s * hd) * qkv.dtype.itemsize,
         transcendentals=b * num_heads * s_pad * s_pad,
     )
+    if quant_out:
+        s_spec = pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0),
+                              memory_space=vmem)
+        kernel = functools.partial(_attn_kernel_qkvfused_quant, scale=scale,
+                                   heads=num_heads, d=d)
+        assert pltpu is not None, "quant_out needs pallas TPU scratch shapes"
+        scratch = [pltpu.VMEM((s, hd), jnp.float32)]
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[qkv_spec, bias_spec, bias_spec],
+            out_specs=[o_spec, s_spec],
+            out_shape=[jax.ShapeDtypeStruct((b, s, hd), jnp.int8),
+                       jax.ShapeDtypeStruct((b, s, 1), jnp.float32)],
+            scratch_shapes=scratch,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qkv, q_bias.astype(qkv.dtype), v_bias.astype(qkv.dtype))
     kernel = functools.partial(_attn_kernel_qkvfused, scale=scale,
                                heads=num_heads, d=d)
     return pl.pallas_call(

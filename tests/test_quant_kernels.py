@@ -87,3 +87,26 @@ def test_scanned_int8_fused_quant_matches_unfused():
     cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
                                * np.linalg.norm(b, axis=-1))
     assert np.all(cos > 0.995), cos
+
+
+def test_attention_quant_epilogue_matches_plain_kernel():
+    """fused_attention_qkv(quant_out=True) must dequantize to the plain
+    kernel's output within one quantization bin, with row scales over the
+    full H*D row (matching _dyn_quant_rows granularity)."""
+    from hirest_tpu.ops.attention import fused_attention_qkv
+
+    rng = np.random.default_rng(4)
+    b, s, heads, d = 2, 9, 4, 16
+    hd = heads * d
+    qkv = jnp.asarray(rng.normal(size=(b, s, 3 * hd)), jnp.float32)
+    qb = jnp.asarray(rng.normal(size=hd), jnp.float32)
+    vb = jnp.asarray(rng.normal(size=hd), jnp.float32)
+    scale = d ** -0.5
+
+    att = np.asarray(fused_attention_qkv(qkv, qb, vb, scale, heads,
+                                         interpret=True))
+    q, sc = fused_attention_qkv(qkv, qb, vb, scale, heads, interpret=True,
+                                quant_out=True)
+    assert q.dtype == jnp.int8 and sc.shape == (b, s, 1)
+    got = _dequant(q, sc)
+    assert np.all(np.abs(got - att) <= np.asarray(sc) + 1e-5)
