@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hirest_tpu.config import EvaVisionConfig
-from hirest_tpu.models.layers import gelu, merge_heads, split_heads
+from hirest_tpu.models.layers import (gelu, gelu_bf16_poly, merge_heads,
+                                       split_heads)
 from hirest_tpu.ops.attention import (fused_attention, fused_attention_packed,
                                       fused_attention_qkv)
 
@@ -100,7 +101,9 @@ def build_scanned_vision_apply(params: dict,
                                cfg: EvaVisionConfig = EvaVisionConfig(),
                                *, int8: bool = False, use_pallas: bool = True,
                                dtype=jnp.bfloat16, interpret: bool = False,
-                               remat: bool = False, fused_quant: bool = False):
+                               remat: bool = False, fused_quant: bool = False,
+                               fast_gelu: bool = True,
+                               xla_fences: bool = True):
     """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
     block stack runs under `lax.scan` (one-block compile time).
 
@@ -157,6 +160,15 @@ def build_scanned_vision_apply(params: dict,
     if fq:
         from hirest_tpu.ops.quant import act_quant, ln_quant
 
+    # fast_gelu: bf16-accurate short erf polynomial (see gelu_bf16_poly) —
+    # the exact-erf epilogue XLA emits costs ~60 ms/call on the full trunk.
+    act_fn = gelu_bf16_poly if fast_gelu else gelu
+    # xla_fences: optimization_barrier after each residual add, so the next
+    # LayerNorm's row-mean reduce cannot be epilogue-fused into the dot
+    # fusion (measured: out-proj fusion 42.7 -> 28.7 ms/call; the reduce
+    # serializes the dot's N-tiles otherwise). Identity math either way.
+    fence = jax.lax.optimization_barrier if xla_fences else (lambda v: v)
+
     def block(x, w):
         if fq:
             h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], eps,
@@ -186,25 +198,31 @@ def build_scanned_vision_apply(params: dict,
         if fq:
             if not packed:
                 a_q, a_s = act_quant(att.astype(dtype), interpret=interpret)
-            x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)
+            x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
+                                   w["out_b"], dtype))
             h_q, h_s = ln_quant(x, w["norm2_scale"], w["norm2_bias"], eps,
                                 interpret=interpret)
             h = _int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"], dtype)
-            h_q, h_s = act_quant(h, act="gelu", interpret=interpret)
-            x = x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"], w["fc2_b"], dtype)
+            h_q, h_s = act_quant(h, act=("gelu_poly" if fast_gelu else "gelu"),
+                                 interpret=interpret)
+            x = fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
+                                   w["fc2_b"], dtype))
         elif int8:
             a_q, a_s = _dyn_quant_rows(att.astype(dtype))
-            x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)
+            x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
+                                   w["out_b"], dtype))
             h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
             h_q, h_s = _dyn_quant_rows(h)
-            h = gelu(_int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"], dtype))
+            h = act_fn(_int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"],
+                                w["fc1_b"], dtype))
             h_q, h_s = _dyn_quant_rows(h)
-            x = x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"], w["fc2_b"], dtype)
+            x = fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
+                                   w["fc2_b"], dtype))
         else:
-            x = x + (att.astype(dtype) @ w["out_w"] + w["out_b"])
+            x = fence(x + (att.astype(dtype) @ w["out_w"] + w["out_b"]))
             h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
-            h = gelu(h @ w["fc1_w"] + w["fc1_b"])
-            x = x + (h @ w["fc2_w"] + w["fc2_b"])
+            h = act_fn(h @ w["fc1_w"] + w["fc1_b"])
+            x = fence(x + (h @ w["fc2_w"] + w["fc2_b"]))
         return x, None
 
     body = jax.checkpoint(lambda x, w: block(x, w)) if remat else block

@@ -27,6 +27,38 @@ def gelu(x):
     return nn.gelu(x, approximate=False)
 
 
+# Minimax fit of erf(u)/u as an even polynomial in u^2 on u in [0, 2.9]
+# (chebfit deg 6; max |erf error| 1.5e-3). Used by gelu_bf16_poly.
+GELU_ERF_COEF = (1.128166641, -0.3732706075, 0.1064506995, -0.02129873868,
+                 0.002738415506, -0.0001988900883, 6.119205364e-06)
+
+
+def gelu_bf16_poly(x):
+    """Exact-erf GELU to bf16 accuracy at ~1/3 the VPU cost.
+
+    XLA lowers erf/erfc to a ~30-op branchy f32 polynomial tuned for f32
+    accuracy; measured on the EVA trunk it costs ~60 ms/call as the fc1
+    epilogue (tools/block_probe.py HLO+trace attribution). When the result
+    is consumed in bfloat16 (8 mantissa bits) or quantized to int8, a short
+    minimax polynomial is indistinguishable in practice: absolute error
+    <= 1.6e-3 everywhere (the worst case is the x ~ -3.9 tail where
+    gelu ~ -1.5e-4 and 1+erf cancels), <= 2 bf16 ULP wherever
+    |gelu(x)| >= 0.1, and identical bf16 bits for ~73% of a [-12,12]
+    sweep. That error is far below the int8 path's per-row quantization
+    bin and of the same order as bf16 matmul rounding itself. Keeps the
+    14-op chain clip/mul/6xFMA/mul/clip/mul/add/mul, all VPU-friendly f32.
+    Opt out with fast_gelu=False where exact-erf bits are required.
+    """
+    x32 = x.astype(jnp.float32)
+    u = jnp.clip(x32, -4.1, 4.1) * 0.7071067811865476
+    s = u * u
+    p = jnp.full_like(s, GELU_ERF_COEF[-1])
+    for c in GELU_ERF_COEF[-2::-1]:
+        p = p * s + c
+    e = jnp.clip(u * p, -1.0, 1.0)
+    return (0.5 * x32 * (1.0 + e)).astype(x.dtype)
+
+
 def quick_gelu(x):
     """OpenAI CLIP's QuickGELU: x * sigmoid(1.702 x)."""
     return x * jax.nn.sigmoid(1.702 * x)

@@ -90,6 +90,9 @@ def _act_quant_kernel(x_ref, q_ref, s_ref, *, act: str):
     y = x_ref[0].astype(jnp.float32)
     if act == "gelu":  # exact erf form (models/layers.gelu parity)
         y = jax.nn.gelu(y, approximate=False)
+    elif act == "gelu_poly":  # bf16-accurate short polynomial (cheap VPU)
+        from hirest_tpu.models.layers import gelu_bf16_poly
+        y = gelu_bf16_poly(y)
     s = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
     q_ref[0] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
     s_ref[0] = s

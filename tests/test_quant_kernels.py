@@ -110,3 +110,19 @@ def test_attention_quant_epilogue_matches_plain_kernel():
     assert q.dtype == jnp.int8 and sc.shape == (b, s, 1)
     got = _dequant(q, sc)
     assert np.all(np.abs(got - att) <= np.asarray(sc) + 1e-5)
+
+
+def test_gelu_bf16_poly_accuracy_bounds():
+    """gelu_bf16_poly's documented bounds: absolute error <= 1.6e-3
+    everywhere, and <= 2 bf16 ULP wherever |gelu(x)| >= 0.1 (it replaces
+    the exact form only where results are consumed in bf16/int8)."""
+    from hirest_tpu.models.layers import gelu_bf16_poly
+
+    x = jnp.asarray(np.linspace(-12, 12, 200001), jnp.float32)
+    exact = np.asarray(gelu(x))
+    approx = np.asarray(gelu_bf16_poly(x))
+    err = np.abs(approx - exact)
+    assert err.max() <= 1.6e-3, err.max()
+    big = np.abs(exact) >= 0.1
+    ulp = np.abs(exact[big]) * 2.0 ** -8
+    assert np.max(err[big] / ulp) <= 2.0

@@ -97,9 +97,22 @@ def build(variant: str, int8: bool, batch: int):
                             w[name + "_b"], dtype)
         return x @ w[name + "_w"] + w[name + "_b"]
 
+    fences = "fences" in variant
+    seqmajor = "seqmajor" in variant
+    from hirest_tpu.models.layers import gelu_bf16_poly
+    act = gelu_bf16_poly if "fastgelu" in variant else gelu
+
+    def attn_sm(qkv, w):
+        from hirest_tpu.ops.attention import fused_attention_qkv_seqmajor
+
+        att_sm = fused_attention_qkv_seqmajor(qkv.transpose(1, 0, 2),
+                                              w["q_bias"], w["v_bias"],
+                                              SCALE, HEADS)
+        return att_sm.transpose(1, 0, 2)
+
     def block(x, w):
         h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
-        if variant == "barrier-ln":
+        if variant == "barrier-ln" or fences:
             h = jax.lax.optimization_barrier(h)
         if variant == "split3":
             wq, wk, wv = jnp.split(w["qkv_w"], 3, axis=-1)
@@ -120,16 +133,24 @@ def build(variant: str, int8: bool, batch: int):
             elif variant == "attn-xla":
                 att = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
                                           SCALE, HEADS, use_pallas=False)
-            else:  # base, barrier-ln
+            elif seqmajor:
+                att = attn_sm(qkv, w)
+            else:  # base, barrier-ln, fences
                 if variant == "barrier-qkv":
                     qkv = jax.lax.optimization_barrier(qkv)
                 att = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
                                           SCALE, HEADS)
         att = att.astype(dtype)
         x = x + mm(att, w, "out")
+        if fences:
+            x = jax.lax.optimization_barrier(x)
         h = _ln(x, w["norm2_scale"], w["norm2_bias"], EPS)
-        h = gelu(mm(h, w, "fc1"))
+        if fences:
+            h = jax.lax.optimization_barrier(h)
+        h = act(mm(h, w, "fc1"))
         x = x + mm(h, w, "fc2")
+        if fences:
+            x = jax.lax.optimization_barrier(x)
         return x, None
 
     def forward(x, xs):
@@ -139,6 +160,31 @@ def build(variant: str, int8: bool, batch: int):
     x = jnp.asarray(rng.standard_normal((batch, S, C), dtype=np.float32)
                     * 0.2, dtype)
     return forward, x, xs
+
+
+def _device_ms_per_call(trace_dir: str) -> float:
+    """Sum of top-level jit_forward device durations / number of calls."""
+    import glob
+    import gzip
+    import json
+
+    paths = glob.glob(os.path.join(trace_dir,
+                                   "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return 0.0
+    with gzip.open(sorted(paths)[-1]) as f:
+        t = json.load(f)
+    ev = t.get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {k for k, v in pids.items() if "TPU" in v}
+    tot, n = 0.0, 0
+    for e in ev:
+        if (e.get("ph") == "X" and e.get("pid") in dev
+                and e.get("name", "").startswith("jit_")):
+            tot += e["dur"]
+            n += 1
+    return tot / n / 1e3 if n else 0.0
 
 
 def main():
@@ -187,15 +233,15 @@ def main():
                 out = compiled(x, xs)
             np.asarray(out)
             dt = (time.perf_counter() - start) / args.iters
-            fps = args.batch / dt
-            print(f"{tag:16s} ms/call={dt * 1e3:8.1f}  fps-equiv={fps:6.1f}"
-                  f"  compile={compile_s:.1f}s", flush=True)
-            if args.trace == variant:
-                tdir = os.path.join(args.hlodir, "trace-" + tag)
-                with jax.profiler.trace(tdir):
-                    for _ in range(2):
-                        np.asarray(compiled(x, xs))
-                print(f"# trace -> {tdir}", flush=True)
+            tdir = os.path.join(args.hlodir, "trace-" + tag)
+            with jax.profiler.trace(tdir):
+                for _ in range(2):
+                    np.asarray(compiled(x, xs))
+            dev_ms = _device_ms_per_call(tdir)
+            fps = args.batch / (dev_ms / 1e3) if dev_ms else args.batch / dt
+            print(f"{tag:16s} device-ms/call={dev_ms:8.1f}  "
+                  f"wall-ms/call={dt * 1e3:8.1f}  fps-dev={fps:6.1f}  "
+                  f"compile={compile_s:.1f}s", flush=True)
         except Exception as e:
             print(f"{tag:16s} FAILED: {type(e).__name__}: {e}", flush=True)
 
