@@ -234,9 +234,10 @@ def bench_retrieval_qps(n_prompts: int = 64, n_videos: int = 4282,
 
 
 def main():
-    from hirest_tpu.utils.cache import enable_compilation_cache
+    if "--no-cache" not in sys.argv:
+        from hirest_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+        enable_compilation_cache()
     if "--latency" in sys.argv:
         p50 = bench_caption_latency()
         print(json.dumps({"metric": "step_caption_p50_latency",

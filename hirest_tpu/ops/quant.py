@@ -69,10 +69,15 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
 
 def _pick_row_block(seq: int, c: int, budget: int = 10 * 1024 * 1024) -> int:
     """Rows per grid cell: f32 temp + double-buffered bf16 in / int8 out
-    must fit the ~16 MB scoped-VMEM budget (headroom for regalloc)."""
+    must fit the ~16 MB scoped-VMEM budget (headroom for regalloc).
+
+    Prefers the full sequence per cell (a block dim equal to the array dim
+    is always legal, so S=257 needs no ragged tail); otherwise the largest
+    32-row multiple (int8 store tile) under budget."""
     per_row = c * (4 + 2 * 2 + 2 * 1) + 8  # f32 temp, 2x bf16 in, 2x int8 out
-    br = max(32, min(seq, budget // per_row))
-    return min(seq, (br // 32) * 32)  # int8 store tile wants 32-row multiples
+    if seq * per_row <= budget:
+        return seq
+    return max(32, (budget // per_row // 32) * 32)
 
 
 def _ln_quant_kernel(x_ref, g_ref, b_ref, q_ref, s_ref, *, eps: float):

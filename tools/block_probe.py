@@ -99,8 +99,12 @@ def build(variant: str, int8: bool, batch: int):
 
     fences = "fences" in variant
     seqmajor = "seqmajor" in variant
+    fq = "fq" in variant  # fused LN/gelu/attention quantization kernels
     from hirest_tpu.models.layers import gelu_bf16_poly
     act = gelu_bf16_poly if "fastgelu" in variant else gelu
+    if fq:
+        assert int8, "fq variants require --int8"
+        from hirest_tpu.ops.quant import act_quant, ln_quant
 
     def attn_sm(qkv, w):
         from hirest_tpu.ops.attention import fused_attention_qkv_seqmajor
@@ -110,7 +114,26 @@ def build(variant: str, int8: bool, batch: int):
                                               SCALE, HEADS)
         return att_sm.transpose(1, 0, 2)
 
+    def block_fq(x, w):
+        h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], EPS)
+        qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
+        a_q, a_s = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"], SCALE,
+                                       HEADS, quant_out=True)
+        x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)
+        if fences:
+            x = jax.lax.optimization_barrier(x)
+        h_q, h_s = ln_quant(x, w["norm2_scale"], w["norm2_bias"], EPS)
+        h = _int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"], dtype)
+        gact = "gelu_poly" if "fastgelu" in variant else "gelu"
+        h_q, h_s = act_quant(h, act=gact)
+        x = x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"], w["fc2_b"], dtype)
+        if fences:
+            x = jax.lax.optimization_barrier(x)
+        return x, None
+
     def block(x, w):
+        if fq:
+            return block_fq(x, w)
         h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
         if variant == "barrier-ln" or fences:
             h = jax.lax.optimization_barrier(h)
