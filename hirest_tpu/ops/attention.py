@@ -316,6 +316,73 @@ def fused_attention_qkv_seqmajor(qkv_sm, q_bias, v_bias, scale: float,
     )(qkv_sm, q_bias.astype(qkv_sm.dtype), v_bias.astype(qkv_sm.dtype))
 
 
+LOG2E = 1.4426950408889634
+
+
+def _attn_kernel_qkv2(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
+                      rows: int):
+    """Lean fused-qkv attention: qkv_ref [R, S, 3*H*D] with q/v biases
+    ALREADY added (callers fold them into the qkv matmul epilogue, where
+    they are free), o_ref [R, S, H*D].
+
+    vs _attn_kernel_qkvfused: no in-kernel bias broadcasts or q/k/v
+    materialization (per-head value slices only), R>=2 rows per grid cell
+    (fewer cell launches), softmax via exp2 with the logit scale folded
+    into the exponent multiplier, and the normalizer applied to the
+    [S, D] output instead of dividing the [S, S] probability matrix."""
+    hd = heads * d
+    c = scale * LOG2E
+    for r in range(rows):
+        row = qkv_ref[r]
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            s = jnp.dot(row[:, sl], row[:, hd + h * d: hd + (h + 1) * d].T,
+                        preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2((s - m) * c).astype(row.dtype)
+            den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jnp.dot(p, row[:, 2 * hd + h * d: 2 * hd + (h + 1) * d],
+                        preferred_element_type=jnp.float32)
+            o_ref[r, :, sl] = (o / den).astype(o_ref.dtype)
+
+
+def fused_attention_qkv2(qkv_biased, scale: float, num_heads: int,
+                         rows_per_cell: int = 2, interpret: bool = False):
+    """Attention over [B, S, 3*H*D] fused qkv with biases pre-added.
+
+    The q/v biases must be added by the caller (one [3HD] broadcast add —
+    XLA fuses it into the producing matmul's epilogue at zero cost).
+    rows_per_cell batches grid cells to amortize per-cell launch overhead;
+    B must be divisible by it (callers fall back to rows_per_cell=1)."""
+    b, s, three_hd = qkv_biased.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    r = rows_per_cell if b % rows_per_cell == 0 else 1
+
+    vmem = pltpu.VMEM if pltpu else None
+    qkv_spec = pl.BlockSpec((r, s, three_hd), lambda i: (i, 0, 0),
+                            memory_space=vmem)
+    o_spec = pl.BlockSpec((r, s, hd), lambda i: (i, 0, 0), memory_space=vmem)
+    s_pad, d_pad = _round_up(s, 16), _round_up(d, 128)
+    cost = pl.CostEstimate(
+        flops=2 * b * num_heads * (s_pad * s_pad * d_pad * 2),
+        bytes_accessed=(b * s * three_hd + b * s * hd)
+        * qkv_biased.dtype.itemsize,
+        transcendentals=b * num_heads * s_pad * s_pad,
+    )
+    kernel = functools.partial(_attn_kernel_qkv2, scale=scale,
+                               heads=num_heads, d=d, rows=r)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // r,),
+        in_specs=[qkv_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), qkv_biased.dtype),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(qkv_biased)
+
+
 def _attn_kernel_qkvfused_quant(qkv_ref, qb_ref, vb_ref, q_ref, s_ref,
                                 acc_ref, *, scale: float, heads: int, d: int):
     """fused-qkv attention with an int8 quantization epilogue: per-head

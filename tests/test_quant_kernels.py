@@ -126,3 +126,29 @@ def test_gelu_bf16_poly_accuracy_bounds():
     big = np.abs(exact) >= 0.1
     ulp = np.abs(exact[big]) * 2.0 ** -8
     assert np.max(err[big] / ulp) <= 2.0
+
+
+def test_attention_qkv2_matches_v1():
+    """fused_attention_qkv2 (biases pre-added, exp2 softmax, folded
+    normalizer) must match the v1 fused-qkv kernel numerically."""
+    from hirest_tpu.ops.attention import (fused_attention_qkv,
+                                          fused_attention_qkv2)
+
+    rng = np.random.default_rng(5)
+    b, s, heads, d = 4, 9, 4, 16
+    hd = heads * d
+    qkv = jnp.asarray(rng.normal(size=(b, s, 3 * hd)), jnp.float32)
+    qb = jnp.asarray(rng.normal(size=hd), jnp.float32)
+    vb = jnp.asarray(rng.normal(size=hd), jnp.float32)
+    scale = d ** -0.5
+
+    ref = np.asarray(fused_attention_qkv(qkv, qb, vb, scale, heads,
+                                         interpret=True))
+    bias3 = jnp.concatenate([qb, jnp.zeros_like(qb), vb])
+    got = np.asarray(fused_attention_qkv2(qkv + bias3, scale, heads,
+                                          interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    # odd batch -> rows_per_cell falls back to 1
+    got1 = np.asarray(fused_attention_qkv2((qkv + bias3)[:3], scale, heads,
+                                           interpret=True))
+    np.testing.assert_allclose(got1, ref[:3], rtol=2e-5, atol=2e-5)

@@ -131,9 +131,33 @@ def build(variant: str, int8: bool, batch: int):
             x = jax.lax.optimization_barrier(x)
         return x, None
 
+    def block_attn2(x, w):
+        from hirest_tpu.ops.attention import fused_attention_qkv2
+
+        h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
+        bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
+                                 w["v_bias"]], -1)
+        if int8:
+            h_q, h_s = _dyn_quant_rows(h)
+            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], bias3, dtype)
+        else:
+            qkv = (h @ w["qkv_w"] + bias3).astype(dtype)
+        att = fused_attention_qkv2(qkv, SCALE, HEADS)
+        x = x + mm(att, w, "out")
+        if fences:
+            x = jax.lax.optimization_barrier(x)
+        h = _ln(x, w["norm2_scale"], w["norm2_bias"], EPS)
+        h = act(mm(h, w, "fc1"))
+        x = x + mm(h, w, "fc2")
+        if fences:
+            x = jax.lax.optimization_barrier(x)
+        return x, None
+
     def block(x, w):
         if fq:
             return block_fq(x, w)
+        if "attn2" in variant:
+            return block_attn2(x, w)
         h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
         if variant == "barrier-ln" or fences:
             h = jax.lax.optimization_barrier(h)
