@@ -98,7 +98,7 @@ def build_host_params(padded_heads: bool = True):
 
 def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                     scan: bool = True, dtype_name: str = "bfloat16",
-                    fused_quant: bool = False):
+                    fused_quant: bool = False, attn_v2: bool = False):
     """-> apply(images) with weights staged on device once (bf16/int8)."""
     import jax
     import jax.numpy as jnp
@@ -109,7 +109,8 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
 
         return build_scanned_vision_apply(params, cfg, int8=int8,
                                           use_pallas=use_pallas, dtype=dtype,
-                                          fused_quant=fused_quant)
+                                          fused_quant=fused_quant,
+                                          attn_v2=attn_v2)
     if int8:
         from hirest_tpu.models.eva_quant import build_int8_vision_apply
 
@@ -278,12 +279,14 @@ def main():
           file=sys.stderr)
 
     fused_quant = "--fused-quant" in sys.argv
+    attn_v2 = "--attn-v2" in sys.argv
     best, best_cfg = 0.0, {}
     for int8 in modes:
         try:
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
                                     int8=int8, scan=scan,
-                                    fused_quant=fused_quant and int8)
+                                    fused_quant=fused_quant and int8,
+                                    attn_v2=attn_v2)
         except Exception as e:
             print(f"# build int8={int8} failed: {e}", file=sys.stderr)
             continue

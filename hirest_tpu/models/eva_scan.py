@@ -28,7 +28,8 @@ from hirest_tpu.config import EvaVisionConfig
 from hirest_tpu.models.layers import (gelu, gelu_bf16_poly, merge_heads,
                                        split_heads)
 from hirest_tpu.ops.attention import (fused_attention, fused_attention_packed,
-                                      fused_attention_qkv)
+                                      fused_attention_qkv,
+                                      fused_attention_qkv2)
 
 
 def _ln(x, scale, bias, eps):
@@ -103,7 +104,8 @@ def build_scanned_vision_apply(params: dict,
                                dtype=jnp.bfloat16, interpret: bool = False,
                                remat: bool = False, fused_quant: bool = False,
                                fast_gelu: bool = True,
-                               xla_fences: bool = True):
+                               xla_fences: bool = True,
+                               attn_v2: bool = False):
     """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
     block stack runs under `lax.scan` (one-block compile time).
 
@@ -170,6 +172,12 @@ def build_scanned_vision_apply(params: dict,
     fence = jax.lax.optimization_barrier if xla_fences else (lambda v: v)
 
     def block(x, w):
+        # attn_v2 pre-folds the q/v biases into the qkv projection's
+        # epilogue (a free broadcast add in the dot fusion), so the lean
+        # kernel receives bias-complete rows
+        v2 = attn_v2 and packed and not fq
+        qkv_bias = (jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
+                                     w["v_bias"]], -1) if v2 else None)
         if fq:
             h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], eps,
                                 interpret=interpret)
@@ -177,11 +185,16 @@ def build_scanned_vision_apply(params: dict,
         elif int8:
             h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
             h_q, h_s = _dyn_quant_rows(h)
-            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
+            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias, dtype)
         else:
             h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
             qkv = h @ w["qkv_w"]
-        if packed and fq:
+            if v2:
+                qkv = qkv + qkv_bias
+        if v2:
+            att = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
+                                       interpret=interpret)
+        elif packed and fq:
             # attention with the quant epilogue: int8 codes + row scales
             # come straight out of the kernel (no bf16 HBM round-trip)
             a_q, a_s = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],

@@ -69,3 +69,22 @@ def test_scanned_pallas_interpret(tiny_setup):
                                        dtype=jnp.float32)
     out = np.asarray(apply(imgs))
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_scanned_attn_v2_matches_v1():
+    """attn_v2 (lean fused-qkv kernel, biases pre-folded into the qkv
+    projection epilogue) must match the v1 kernel path numerically. Needs
+    a 128-aligned row (packed path), unlike TINY's 64-lane width."""
+    cfg = EvaVisionConfig(image_size=28, layers=3, width=128, head_width=32,
+                          mlp_ratio=4.0, patch_size=14, embed_dim=32)
+    tower = EvaVisionTower(cfg, dtype=jnp.float32)
+    imgs = jnp.asarray(
+        np.random.default_rng(7).normal(size=(4, 28, 28, 3)), jnp.float32)
+    params = shape_only_init(tower, imgs[:1])
+    kw = dict(use_pallas=True, interpret=True, dtype=jnp.float32,
+              fast_gelu=False)
+    a = np.asarray(build_scanned_vision_apply(params, cfg, **kw)(imgs))
+    b = np.asarray(build_scanned_vision_apply(params, cfg, attn_v2=True,
+                                              **kw)(imgs))
+    assert not np.allclose(a, 0)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
