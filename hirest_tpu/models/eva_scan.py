@@ -175,13 +175,13 @@ def build_scanned_vision_apply(params: dict,
         # attn_v2 pre-folds the q/v biases into the qkv projection's
         # epilogue (a free broadcast add in the dot fusion), so the lean
         # kernel receives bias-complete rows
-        v2 = attn_v2 and packed and not fq
+        v2 = attn_v2 and packed
         qkv_bias = (jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
                                      w["v_bias"]], -1) if v2 else None)
         if fq:
             h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], eps,
                                 interpret=interpret)
-            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
+            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias, dtype)
         elif int8:
             h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
             h_q, h_s = _dyn_quant_rows(h)
@@ -191,7 +191,11 @@ def build_scanned_vision_apply(params: dict,
             qkv = h @ w["qkv_w"]
             if v2:
                 qkv = qkv + qkv_bias
-        if v2:
+        if v2 and fq:
+            a_q, a_s = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
+                                            interpret=interpret,
+                                            quant_out=True)
+        elif v2:
             att = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
                                        interpret=interpret)
         elif packed and fq:

@@ -346,8 +346,35 @@ def _attn_kernel_qkv2(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
             o_ref[r, :, sl] = (o / den).astype(o_ref.dtype)
 
 
+def _attn_kernel_qkv2_quant(qkv_ref, q_ref, s_ref, acc_ref, *, scale: float,
+                            heads: int, d: int, rows: int):
+    """_attn_kernel_qkv2 with the int8 quantization epilogue of
+    _attn_kernel_qkvfused_quant: per-head outputs accumulate in f32 VMEM
+    scratch, then one per-row dynamic int8 quantization over the full
+    H*D row emits codes + scales."""
+    hd = heads * d
+    c = scale * LOG2E
+    for r in range(rows):
+        row = qkv_ref[r]
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            s = jnp.dot(row[:, sl], row[:, hd + h * d: hd + (h + 1) * d].T,
+                        preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2((s - m) * c).astype(row.dtype)
+            den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jnp.dot(p, row[:, 2 * hd + h * d: 2 * hd + (h + 1) * d],
+                        preferred_element_type=jnp.float32)
+            acc_ref[r, :, sl] = o / den
+        y = acc_ref[r]
+        sc = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+        q_ref[r] = jnp.clip(jnp.round(y / sc), -127, 127).astype(jnp.int8)
+        s_ref[r] = sc
+
+
 def fused_attention_qkv2(qkv_biased, scale: float, num_heads: int,
-                         rows_per_cell: int = 2, interpret: bool = False):
+                         rows_per_cell: int = 2, interpret: bool = False,
+                         quant_out: bool = False):
     """Attention over [B, S, 3*H*D] fused qkv with biases pre-added.
 
     The q/v biases must be added by the caller (one [3HD] broadcast add —
@@ -370,6 +397,23 @@ def fused_attention_qkv2(qkv_biased, scale: float, num_heads: int,
         * qkv_biased.dtype.itemsize,
         transcendentals=b * num_heads * s_pad * s_pad,
     )
+    if quant_out:
+        assert pltpu is not None, "quant_out needs pallas TPU scratch shapes"
+        s_spec = pl.BlockSpec((r, s, 1), lambda i: (i, 0, 0),
+                              memory_space=vmem)
+        kernel = functools.partial(_attn_kernel_qkv2_quant, scale=scale,
+                                   heads=num_heads, d=d, rows=r)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // r,),
+            in_specs=[qkv_spec],
+            out_specs=[o_spec, s_spec],
+            out_shape=[jax.ShapeDtypeStruct((b, s, hd), jnp.int8),
+                       jax.ShapeDtypeStruct((b, s, 1), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((r, s, hd), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qkv_biased)
     kernel = functools.partial(_attn_kernel_qkv2, scale=scale,
                                heads=num_heads, d=d, rows=r)
     return pl.pallas_call(

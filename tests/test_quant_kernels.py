@@ -152,3 +152,40 @@ def test_attention_qkv2_matches_v1():
     got1 = np.asarray(fused_attention_qkv2((qkv + bias3)[:3], scale, heads,
                                            interpret=True))
     np.testing.assert_allclose(got1, ref[:3], rtol=2e-5, atol=2e-5)
+
+
+def test_attention_qkv2_quant_epilogue():
+    """v2 kernel quant epilogue: dequantizes to the unquantized v2 output
+    within one bin; also via the scanned forward (fq + attn_v2)."""
+    from hirest_tpu.ops.attention import fused_attention_qkv2
+
+    rng = np.random.default_rng(6)
+    b, s, heads, d = 4, 9, 4, 32
+    hd = heads * d
+    qkv = jnp.asarray(rng.normal(size=(b, s, 3 * hd)), jnp.float32)
+    scale = d ** -0.5
+    ref = np.asarray(fused_attention_qkv2(qkv, scale, heads, interpret=True))
+    q, sc = fused_attention_qkv2(qkv, scale, heads, interpret=True,
+                                 quant_out=True)
+    assert q.dtype == jnp.int8
+    got = _dequant(q, sc)
+    assert np.all(np.abs(got - ref) <= np.asarray(sc) + 1e-5)
+
+    tiny = EvaVisionConfig(image_size=28, layers=2, width=128, head_width=32,
+                           mlp_ratio=4.0, patch_size=14, embed_dim=32)
+    from hirest_tpu.models.eva_clip import EvaVisionTower
+    from hirest_tpu.utils.init import shape_only_init
+
+    tower = EvaVisionTower(tiny, dtype=jnp.float32)
+    imgs = jnp.asarray(
+        np.random.default_rng(8).normal(size=(2, 28, 28, 3)), jnp.float32)
+    params = shape_only_init(tower, imgs[:1])
+    a = np.asarray(build_scanned_vision_apply(
+        params, tiny, int8=True, use_pallas=True, dtype=jnp.bfloat16,
+        fused_quant=True, interpret=True)(imgs))
+    b2 = np.asarray(build_scanned_vision_apply(
+        params, tiny, int8=True, use_pallas=True, dtype=jnp.bfloat16,
+        fused_quant=True, attn_v2=True, interpret=True)(imgs))
+    cos = np.sum(a * b2, -1) / (np.linalg.norm(a, axis=-1)
+                                * np.linalg.norm(b2, axis=-1))
+    assert np.all(cos > 0.995), cos
