@@ -22,10 +22,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_dryrun_multichip_self_provisions_from_one_device():
     env = dict(os.environ)
     # one CPU device stands in for the driver's one axon chip (initializing
-    # the real tunnel from tests would contend with the single TPU client)
+    # the real tunnel from tests would contend with the single TPU client).
+    # NOTE the env var alone does NOT keep jax off the axon tunnel in this
+    # image — only jax.config.update does (measured: a JAX_PLATFORMS=cpu
+    # subprocess still initializes the axon backend and hangs when the
+    # tunnel is down). JAX_PLATFORMS_FORCE=cpu makes dryrun_multichip
+    # apply the config update itself.
     env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORMS_FORCE"] = "cpu"
     env["XLA_FLAGS"] = ""
-    code = ("import jax; assert jax.device_count() == 1, jax.device_count(); "
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "assert jax.device_count() == 1, jax.device_count(); "
             "import __graft_entry__ as g; g.dryrun_multichip(8); "
             "print('DRIVER_CALL_OK')")
     proc = subprocess.run(
