@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-3 TPU measurement queue. One TPU client at a time, no kills:
+# each step runs to completion (wedging the axon server by killing a
+# client mid-compile costs ~45-60 min of tunnel downtime — measured).
+# Usage: bash tools/tpu_measure_queue.sh [outdir]
+set -u
+OUT=${1:-/tmp/tpuq}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* (start $(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
+  "$@" > "$OUT/$name.log" 2>&1
+  rc=$?
+  echo "=== $name done rc=$rc ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
+  grep -v Warning "$OUT/$name.log" | tail -8
+}
+
+# 1. v2 attention kernel, bf16 (device-ms via trace)
+run attn2_bf16 python tools/block_probe.py \
+  --variants attn2-fastgelu-fences --iters 2 --hlodir "$OUT/hlo"
+
+# 2. int8: current dyn-quant vs fused-quant kernels (+ v2 attention)
+run int8_pair python tools/block_probe.py --int8 \
+  --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu --iters 2 \
+  --hlodir "$OUT/hlo"
+
+# 3. production bench: bf16+int8 sweep with the winners
+run bench_v2 python bench.py --batch=128 --attn-v2 --fused-quant --no-cache
+
+# 4. reference bench config (current committed defaults)
+run bench_default python bench.py --batch=128 --no-cache
