@@ -384,6 +384,10 @@ def fused_attention_qkv2(qkv_biased, scale: float, num_heads: int,
     b, s, three_hd = qkv_biased.shape
     hd = three_hd // 3
     d = hd // num_heads
+    if quant_out:
+        # the f32 accumulation scratch joins the block set; 2 rows/cell
+        # (~15 MB with double buffering) risks the ~16 MB scoped-VMEM limit
+        rows_per_cell = 1
     r = rows_per_cell if b % rows_per_cell == 0 else 1
 
     vmem = pltpu.VMEM if pltpu else None
