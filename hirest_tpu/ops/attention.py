@@ -256,66 +256,6 @@ def _attn_kernel_qkvfused(qkv_ref, qb_ref, vb_ref, o_ref, *, scale: float,
                                   ).astype(o_ref.dtype)
 
 
-def _attn_kernel_qkvfused_sm(qkv_ref, qb_ref, vb_ref, o_ref, *, scale: float,
-                             heads: int, d: int):
-    """Sequence-major flavor: qkv_ref [S, 1, 3*H*D], o_ref [S, 1, H*D].
-
-    Same math as _attn_kernel_qkvfused; the [S, B, *] operand order makes
-    the custom call's forced default layout ({2,1,0} of [S,B,C]) byte-
-    identical to the {2,0,1} batch-in-sublanes layout the XLA dot emitter
-    prefers for the producing/consuming matmuls, so the transposes around
-    the call become bitcasts instead of relayout copies."""
-    hd = heads * d
-    row = qkv_ref[:, 0, :]
-    q_all = row[:, :hd] + qb_ref[...][None, :]
-    k_all = row[:, hd: 2 * hd]
-    v_all = row[:, 2 * hd:] + vb_ref[...][None, :]
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        s = jnp.dot(q_all[:, sl], k_all[:, sl].T,
-                    preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1).astype(row.dtype)
-        o_ref[:, 0, sl] = jnp.dot(p, v_all[:, sl],
-                                  preferred_element_type=jnp.float32
-                                  ).astype(o_ref.dtype)
-
-
-def fused_attention_qkv_seqmajor(qkv_sm, q_bias, v_bias, scale: float,
-                                 num_heads: int, interpret: bool = False):
-    """Self-attention over a SEQUENCE-MAJOR fused qkv tensor.
-
-    qkv_sm [S, B, 3*H*D] (thirds q|k|v) -> [S, B, H*D]. Callers produce
-    qkv_sm as `qkv.transpose(1, 0, 2)` of the usual [B, S, 3HD]; with the
-    batch-in-sublanes matmul layout XLA assigns to the trunk, both that
-    transpose and the inverse on the output lower to bitcasts."""
-    s, b, three_hd = qkv_sm.shape
-    hd = three_hd // 3
-    d = hd // num_heads
-
-    vmem = pltpu.VMEM if pltpu else None
-    qkv_spec = pl.BlockSpec((s, 1, three_hd), lambda i: (0, i, 0),
-                            memory_space=vmem)
-    bias_spec = pl.BlockSpec((hd,), lambda i: (0,), memory_space=vmem)
-    o_spec = pl.BlockSpec((s, 1, hd), lambda i: (0, i, 0), memory_space=vmem)
-    s_pad, d_pad = _round_up(s, 16), _round_up(d, 128)
-    cost = pl.CostEstimate(
-        flops=2 * b * num_heads * (s_pad * s_pad * d_pad * 2),
-        bytes_accessed=(b * s * three_hd + b * s * hd) * qkv_sm.dtype.itemsize,
-        transcendentals=b * num_heads * s_pad * s_pad,
-    )
-    kernel = functools.partial(_attn_kernel_qkvfused_sm, scale=scale,
-                               heads=num_heads, d=d)
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[qkv_spec, bias_spec, bias_spec],
-        out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((s, b, hd), qkv_sm.dtype),
-        interpret=interpret,
-        cost_estimate=cost,
-    )(qkv_sm, q_bias.astype(qkv_sm.dtype), v_bias.astype(qkv_sm.dtype))
-
-
 LOG2E = 1.4426950408889634
 
 

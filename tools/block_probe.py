@@ -98,7 +98,6 @@ def build(variant: str, int8: bool, batch: int):
         return x @ w[name + "_w"] + w[name + "_b"]
 
     fences = "fences" in variant
-    seqmajor = "seqmajor" in variant
     fq = "fq" in variant  # fused LN/gelu/attention quantization kernels
     from hirest_tpu.models.layers import gelu_bf16_poly
     act = gelu_bf16_poly if "fastgelu" in variant else gelu
@@ -106,19 +105,20 @@ def build(variant: str, int8: bool, batch: int):
         assert int8, "fq variants require --int8"
         from hirest_tpu.ops.quant import act_quant, ln_quant
 
-    def attn_sm(qkv, w):
-        from hirest_tpu.ops.attention import fused_attention_qkv_seqmajor
-
-        att_sm = fused_attention_qkv_seqmajor(qkv.transpose(1, 0, 2),
-                                              w["q_bias"], w["v_bias"],
-                                              SCALE, HEADS)
-        return att_sm.transpose(1, 0, 2)
-
     def block_fq(x, w):
         h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], EPS)
-        qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
-        a_q, a_s = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"], SCALE,
-                                       HEADS, quant_out=True)
+        if "attn2" in variant:
+            from hirest_tpu.ops.attention import fused_attention_qkv2
+
+            bias3 = jnp.concatenate([w["q_bias"],
+                                     jnp.zeros_like(w["q_bias"]),
+                                     w["v_bias"]], -1)
+            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], bias3, dtype)
+            a_q, a_s = fused_attention_qkv2(qkv, SCALE, HEADS, quant_out=True)
+        else:
+            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
+            a_q, a_s = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
+                                           SCALE, HEADS, quant_out=True)
         x = x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"], w["out_b"], dtype)
         if fences:
             x = jax.lax.optimization_barrier(x)
@@ -180,8 +180,6 @@ def build(variant: str, int8: bool, batch: int):
             elif variant == "attn-xla":
                 att = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
                                           SCALE, HEADS, use_pallas=False)
-            elif seqmajor:
-                att = attn_sm(qkv, w)
             else:  # base, barrier-ln, fences
                 if variant == "barrier-qkv":
                     qkv = jax.lax.optimization_barrier(qkv)
