@@ -234,7 +234,41 @@ def bench_retrieval_qps(n_prompts: int = 64, n_videos: int = 4282,
     return n_prompts * iters / (time.perf_counter() - start)
 
 
+def _require_device(timeout_s: float = 600.0):
+    """Fail fast (with a well-formed JSON line) when the TPU tunnel is
+    unavailable instead of hanging the driver: device init through a
+    wedged axon server blocks indefinitely, and has been observed down for
+    hours at a stretch. Probed on a daemon thread so a hang can't leak
+    past the timeout."""
+    import threading
+
+    out = {}
+
+    def probe():
+        try:
+            import jax
+
+            out["devices"] = jax.devices()
+        except Exception as e:  # UNAVAILABLE etc.
+            out["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "eva_clip_frames_per_sec_per_chip",
+            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": out.get("error", f"TPU device init exceeded "
+                                      f"{timeout_s:.0f}s (tunnel down)"),
+        }))
+        import os
+
+        os._exit(1)
+
+
 def main():
+    _require_device()
     if "--no-cache" not in sys.argv:
         from hirest_tpu.utils.cache import enable_compilation_cache
 
