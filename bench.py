@@ -286,7 +286,9 @@ def main():
                           "vs_baseline": 0.0}))
         return
 
-    batches = [128, 256]
+    # batch 128 measured fastest in both modes (BENCHLOG.md: 256 loses
+    # ~8% bf16 / ~10% int8); sweep more sizes via --batch=128,256,...
+    batches = [128]
     use_pallas = "--no-pallas" not in sys.argv
     scan = "--unrolled" not in sys.argv
     # unpadded heads + the fused-qkv kernel measured fastest (BENCHLOG.md):
