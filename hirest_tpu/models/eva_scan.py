@@ -27,8 +27,7 @@ import numpy as np
 from hirest_tpu.config import EvaVisionConfig
 from hirest_tpu.models.layers import (gelu, gelu_bf16_poly, merge_heads,
                                        split_heads)
-from hirest_tpu.ops.attention import (fused_attention, fused_attention_packed,
-                                      fused_attention_qkv,
+from hirest_tpu.ops.attention import (fused_attention, fused_attention_qkv,
                                       fused_attention_qkv2)
 
 
