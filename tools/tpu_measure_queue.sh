@@ -26,8 +26,6 @@ run int8_pair python tools/block_probe.py --int8 \
   --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu --iters 2 \
   --hlodir "$OUT/hlo"
 
-# 3. production bench: bf16+int8 sweep with the winners
-run bench_v2 python bench.py --batch=128 --attn-v2 --fused-quant --no-cache
-
-# 4. reference bench config (current committed defaults)
-run bench_default python bench.py --batch=128 --no-cache
+# 3. production bench: the default config ladder covers bf16/int8 with
+# and without the candidate kernel paths (best survivor wins)
+run bench_ladder python bench.py --batch=128 --no-cache
