@@ -17,6 +17,9 @@ run() {
   grep -v Warning "$OUT/$name.log" | tail -8
 }
 
+# 0. production bench FIRST (the headline number; probes after)
+run bench_ladder python bench.py --batch=128 --no-cache
+
 # 1. v2 attention kernel, bf16 (device-ms via trace)
 run attn2_bf16 python tools/block_probe.py \
   --variants attn2-fastgelu-fences --iters 2 --hlodir "$OUT/hlo"
@@ -26,6 +29,3 @@ run int8_pair python tools/block_probe.py --int8 \
   --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu --iters 2 \
   --hlodir "$OUT/hlo"
 
-# 3. production bench: the default config ladder covers bf16/int8 with
-# and without the candidate kernel paths (best survivor wins)
-run bench_ladder python bench.py --batch=128 --no-cache
