@@ -294,10 +294,17 @@ def decode_segment(adapter, enc, tok, options: DecodeOptions,
 
     # ----- select the winning hypothesis -------------------------------
     if use_beam:
-        if not finished:  # no beam finished: close the live ones
-            for j in range(n):
+        if len(finished) < n:
+            # BeamSearchDecoder.finalize semantics: whenever fewer than
+            # beam_size sequences finished, top up with the live beams
+            # (tokens + EOT, no extra EOT logprob added), best-first.
+            for j in np.argsort(-sum_logprobs):
+                if len(finished) >= n:
+                    break
                 if np.isfinite(sum_logprobs[j]):
-                    finished[tuple(seqs[j]) + (tok.EOT,)] = sum_logprobs[j]
+                    cand = tuple(seqs[j]) + (tok.EOT,)
+                    if cand not in finished:
+                        finished[cand] = sum_logprobs[j]
         def score(item):
             cand, lp = item
             length = len(cand) - sample_begin - 1   # sampled tokens, no EOT
@@ -349,11 +356,10 @@ def decode_with_fallback(adapter, enc, tok, options: DecodeOptions,
         if (options.logprob_threshold is not None
                 and result.avg_logprob < options.logprob_threshold):
             needs_fallback = True      # low confidence
-        if (options.no_speech_threshold is not None
-                and result.no_speech_prob > options.no_speech_threshold
-                and options.logprob_threshold is not None
-                and result.avg_logprob < options.logprob_threshold):
-            needs_fallback = False     # silence: accept and let caller skip
+        # NB: no silence short-circuit here — the whisper version the
+        # reference pins (eff383b) has none; probable-silence segments still
+        # escalate through the temperature schedule and are skipped (or not)
+        # by the seek loop's should_skip gate afterwards.
         if not needs_fallback:
             return result
     return result
@@ -388,7 +394,11 @@ def transcribe_with_rules(adapter, audio: np.ndarray, tok,
 
     while seek < content_frames:
         time_offset = seek * (1.0 / FRAMES_PER_SECOND)
-        window = mel[seek: seek + N_FRAMES]
+        # pad_or_trim-on-mel semantics (pinned whisper eff383b): the window
+        # is zero-padded immediately after the audio content, so slice only
+        # content frames — mel past content_frames is silence-mel from the
+        # chunk-rounding pad and must not leak into tail windows.
+        window = mel[seek: min(seek + N_FRAMES, content_frames)]
         if window.shape[0] < N_FRAMES:
             window = np.pad(window, ((0, N_FRAMES - window.shape[0]), (0, 0)))
         segment_size = min(N_FRAMES, content_frames - seek)

@@ -46,12 +46,17 @@ def _get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
 class Gpt2BpeTokenizer:
     """Byte-level BPE over an HF vocab.json/merges.txt pair."""
 
-    # the canonical GPT-2 pre-tokenization pattern
-    _PAT = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+"
-            r"| ?[^\s\w]+|\s+(?!\S)|\s+")
+    # the canonical GPT-2 pre-tokenization pattern (exact, via the `regex`
+    # module's \p{L}/\p{N} classes — ships with `transformers`)
+    _PAT = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+            r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+")
+    # `re` fallback: [^\W\d_] ~ \p{L} (underscore must then be matched by
+    # the punctuation branch, hence the explicit |_), \d ~ \p{N} minus
+    # No/Nl numerics — a documented approximation only used without `regex`.
+    _PAT_RE = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+"
+               r"| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+")
 
     def __init__(self, vocab_path: str, merges_path: str):
-        import re
 
         with open(vocab_path, encoding="utf-8") as f:
             self.encoder: dict[str, int] = json.load(f)
@@ -66,7 +71,12 @@ class Gpt2BpeTokenizer:
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
-        self.pat = re.compile(self._PAT)
+        try:
+            import regex
+            self.pat = regex.compile(self._PAT)
+        except ImportError:
+            import re
+            self.pat = re.compile(self._PAT_RE)
         self.cache: dict[str, str] = {}
 
     def _bpe(self, token: str) -> str:

@@ -61,6 +61,42 @@ def test_bpe_handles_unicode_bytes(tmp_path):
     assert tok.decode(tok.encode(s)) == s
 
 
+def test_pretokenize_underscore_and_numerics(tmp_path):
+    """Canonical GPT-2 pre-tokenization: '_' is punctuation (\\p{L} excludes
+    it), ' _' is one pre-token, and Unicode numerics (², ½) split as \\p{N}.
+    Regression: the old `re` approximation dropped underscores entirely,
+    which poisoned non_speech_tokens() with the bare-space token."""
+    vp, mp, vocab = _write_tiny_vocab(tmp_path)
+    tok = Gpt2BpeTokenizer(vp, mp)
+    assert tok.pat.findall("a_b") == ["a", "_", "b"]
+    assert tok.pat.findall("_") == ["_"]
+    assert tok.pat.findall(" _") == [" _"]
+    assert tok.pat.findall("x² ½") == ["x", "²", " ½"]
+    assert tok.decode(tok.encode("a_b _ c")) == "a_b _ c"
+
+
+def test_non_speech_tokens_underscore_not_space(tmp_path):
+    # like _write_tiny_vocab but with the 'Ġ-' / "Ġ'" merges the real vocab
+    # has, so encode(" -")[0] is not the bare space token
+    b2u = bytes_to_unicode()
+    tokens = [b2u[b] for b in range(256)]
+    # Ġâ: real-vocab merge of space + first utf-8 byte of the ♪-family
+    # symbols, so the miscellaneous branch's tokens[0] is not bare space
+    merges = [("Ġ", "-"), ("Ġ", "'"), ("Ġ", "â")]
+    tokens += [a + b for a, b in merges]
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(tokens))}
+    vp, mp = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    vp.write_text(json.dumps(vocab))
+    mp.write_text("#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    wt = WhisperEnTokenizer(str(vp), str(mp))
+    ns = wt.non_speech_tokens()
+    # '_' itself is suppressed (single-token symbol) ...
+    assert vocab["_"] in ns
+    # ... but the bare space token must NOT be (the old-pattern bug: ' _'
+    # pre-tokenized to [' '], adding the space token to the suppress list)
+    assert vocab["Ġ"] not in ns
+
+
 # ---------------------------------------------------------------------------
 # Fake tokenizer with the real special-token layout
 # ---------------------------------------------------------------------------
@@ -236,6 +272,38 @@ def test_decode_segment_beam_prefers_high_logprob():
     assert adapter.reorders              # beam cache reordering exercised
 
 
+def test_beam_finalize_tops_up_live_beams():
+    """BeamSearchDecoder.finalize parity: when fewer than beam_size beams
+    finished naturally, the remaining live beams are appended (tokens+EOT,
+    no extra logprob) so a strong never-EOT beam can outrank a weak early
+    finisher under the length penalty."""
+    tok = FakeTok()
+    A, B, C = 80, 81, 82
+
+    class Forked(ScriptAdapter):
+        def step(self, state, tokens, pos):
+            n = state["n"]
+            logits = np.full((n, FakeTok.VOCAB), -20.0)
+            for j in range(n):
+                t = int(tokens[j])
+                if t in (FakeTok.SOT, FakeTok.NO_TIMESTAMPS):
+                    logits[j, A] = 5.0      # strong beam: never emits EOT
+                    logits[j, B] = 4.0      # weak beam: EOTs immediately
+                elif t == B:
+                    logits[j, FakeTok.EOT] = 5.0
+                else:
+                    logits[j, C] = 5.0
+            return logits, state
+
+    opts = DecodeOptions(temperature=(0.0,), beam_size=2, sample_len=6,
+                         without_timestamps=True,
+                         compression_ratio_threshold=None,
+                         logprob_threshold=None, no_speech_threshold=None)
+    res = decode_segment(Forked([]), None, tok, opts, 0.0)
+    # without the top-up only the early-EOT B beam exists in `finished`
+    assert res.tokens[0] == A
+
+
 def test_fallback_escalates_on_compression_then_accepts():
     tok = FakeTok()
     calls = []
@@ -272,7 +340,11 @@ def test_fallback_escalates_on_low_logprob():
     assert res.temperature == 0.95
 
 
-def test_fallback_accepts_silence_without_escalation():
+def test_fallback_escalates_even_on_probable_silence():
+    """The pinned whisper (eff383b) has NO silence short-circuit inside
+    decode_with_fallback: a low-logprob high-no-speech window still walks the
+    whole temperature schedule; the seek loop's should_skip gate decides
+    whether to drop the segment afterwards."""
     tok = FakeTok()
     calls = []
 
@@ -284,7 +356,8 @@ def test_fallback_accepts_silence_without_escalation():
 
     res = decode_with_fallback(None, None, tok, DecodeOptions(),
                                decode_fn=fake_decode)
-    assert calls == [0.15]              # silence accepted immediately
+    assert calls == list(DecodeOptions().temperature)   # full escalation
+    assert res.temperature == DecodeOptions().temperature[-1]
     assert res.no_speech_prob == 0.9
 
 
