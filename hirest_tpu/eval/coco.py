@@ -192,9 +192,12 @@ class CocoEvaluator:
     takes flat candidate/reference string lists, returns {metric: score}."""
 
     def __init__(self, coco_types=("BLEU", "METEOR", "ROUGE_L", "CIDEr"),
-                 spice_fn=None):
+                 spice_fn=None, meteor_version="2005"):
         self.coco_types = coco_types
         self.spice_fn = spice_fn
+        # "1.5" scores with the METEOR-1.5 English model (the reference
+        # jar's parameterization; see eval/meteor.py)
+        self.meteor_version = meteor_version
 
     def run_evaluation(self, candidates: list[str], references: list[str]) -> dict:
         refs = [[r] if isinstance(r, str) else list(r) for r in references]
@@ -207,7 +210,8 @@ class CocoEvaluator:
             from hirest_tpu.eval.meteor import meteor
             results["METEOR"] = meteor(
                 [tokenize(c) for c in candidates],
-                [[tokenize(r) for r in rs] for rs in refs])
+                [[tokenize(r) for r in rs] for rs in refs],
+                version=self.meteor_version)
         if "ROUGE_L" in self.coco_types:
             results["ROUGE_L"] = rouge_l(candidates, refs)
         if "CIDEr" in self.coco_types:

@@ -14,12 +14,25 @@ METEOR so the framework's CocoEvaluator reports the full metric family:
   references, corpus score = mean over sentences (alpha=0.9, beta=3,
   gamma=0.5).
 
-Documented deviations from the METEOR-1.5 jar (which cannot run here: it
-needs a JVM plus ~60 MB synonym/paraphrase tables): no WordNet-synonym or
-paraphrase stages, original-paper parameters rather than the 1.5 English
-task tuning, and arithmetic-mean aggregation instead of pooled corpus
-statistics. Golden parity with `nltk.translate.meteor_score` (WordNet stage
-disabled) is asserted in tests/test_meteor.py.
+Two scoring models:
+
+- version="2005" (default): original Banerjee & Lavie parameters
+  (alpha=.9, beta=3, gamma=.5), max-over-references, arithmetic-mean
+  corpus aggregation. Golden parity with `nltk.translate.meteor_score`
+  (WordNet stage disabled) is asserted in tests/test_meteor.py.
+- version="1.5": the METEOR-1.5 English scoring model (meteor_15 below):
+  tuned parameters alpha=.85 beta=.2 gamma=.6 delta=.75, module weights,
+  function-word discounting, pooled-corpus-statistics aggregation.
+
+Documented deviation from the METEOR-1.5 jar in both modes (the jar cannot
+run here: JVM plus ~60 MB synonym/paraphrase tables): no WordNet-synonym or
+paraphrase match stages, so scores lower-bound the jar's.
+
+Measured version delta on a 5-sentence caption sample (tests/test_meteor.py
+cases): corpus 2005 = 0.7746 vs corpus 1.5 = 0.3605 — the two
+parameterizations are NOT interchangeable; compare numbers only within one
+mode. The 1.5 sentence formula with delta=0.5 and unit module weights is
+cross-checked to 1e-12 against nltk at alpha=.85/beta=.2/gamma=.6.
 
 The stemmer is an independent implementation of the canonical Porter (1980)
 algorithm — no Martin/NLTK extension rules — so scores are reproducible
@@ -194,14 +207,22 @@ def _stage_match(hyp, ref, key):
     return matches, hyp_rest, ref_rest
 
 
-def align(hyp_tokens: list[str], ref_tokens: list[str]):
-    """Exact stage then Porter-stem stage; matches sorted by hypothesis
-    index, as METEOR's unigram aligner produces them."""
+def align_modules(hyp_tokens: list[str], ref_tokens: list[str]):
+    """Exact stage then Porter-stem stage on the residue; returns
+    (hyp_index, ref_index, module) triples sorted by hypothesis index,
+    module 0 = exact, 1 = stem (METEOR's module numbering)."""
     hyp = list(enumerate(hyp_tokens))
     ref = list(enumerate(ref_tokens))
     exact, hyp, ref = _stage_match(hyp, ref, lambda w: w)
     stemmed, hyp, ref = _stage_match(hyp, ref, porter_stem)
-    return sorted(exact + stemmed, key=lambda pair: pair[0])
+    return sorted([(h, r, 0) for h, r in exact]
+                  + [(h, r, 1) for h, r in stemmed])
+
+
+def align(hyp_tokens: list[str], ref_tokens: list[str]):
+    """Exact stage then Porter-stem stage; matches sorted by hypothesis
+    index, as METEOR's unigram aligner produces them."""
+    return [(h, r) for h, r, _ in align_modules(hyp_tokens, ref_tokens)]
 
 
 def _count_chunks(matches) -> int:
@@ -229,8 +250,19 @@ def meteor_single(hyp_tokens: list[str], ref_tokens: list[str],
 
 
 def meteor(candidates: list[list[str]], references: list[list[list[str]]],
-           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
-    """Corpus METEOR: per-sentence max over references, arithmetic mean."""
+           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
+           version: str = "2005", **kw) -> float:
+    """Corpus METEOR.
+
+    version="2005" (default): per-sentence max over references, arithmetic
+    mean, original-paper parameters — nltk-parity (tests/test_meteor.py).
+
+    version="1.5": the METEOR-1.5 English scoring model (see meteor_15).
+    Parameters alpha/beta/gamma are NOT shared between versions; 1.5 uses
+    its own tuned defaults unless explicitly overridden via kw.
+    """
+    if version == "1.5":
+        return meteor_15(candidates, references, **kw)
     assert len(candidates) == len(references)
     if not candidates:
         return 0.0
@@ -238,3 +270,112 @@ def meteor(candidates: list[list[str]], references: list[list[list[str]]],
     for cand, refs in zip(candidates, references):
         total += max(meteor_single(cand, r, alpha, beta, gamma) for r in refs)
     return total / len(candidates)
+
+
+# ---------------------------------------------------------------------------
+# METEOR 1.5 (Denkowski & Lavie 2014, "Meteor Universal") — the scoring
+# model of the meteor-1.5.jar the reference runs via language_evaluation's
+# coco-caption (/root/reference/evaluate.py:299-301).
+# ---------------------------------------------------------------------------
+#
+# English task tuning: alpha=.85 beta=.2 gamma=.6 delta=.75, module weights
+# exact 1.0 / stem 0.6 (/ synonym 0.8 / paraphrase 0.6 — those two stages
+# need WordNet + a 60 MB paraphrase table and are a documented deviation:
+# this implementation runs exact+stem only, so its scores lower-bound the
+# jar's). Differences from the 2005 model implemented above:
+#   * content/function word weighting: a matched or counted function word
+#     contributes delta, a content word (1-delta), to both the match
+#     numerators and the length denominators;
+#   * module weights scale each match's contribution;
+#   * corpus score = pooled sufficient statistics (micro-average) over the
+#     best-scoring reference per segment, NOT a mean of sentence scores.
+
+METEOR15_EN = {"alpha": 0.85, "beta": 0.2, "gamma": 0.6, "delta": 0.75,
+               "weights": (1.0, 0.6)}
+
+# Approximation of the jar's frequency-derived `function.words` list (words
+# with relative frequency > 1e-3 in its news corpus) : the closed-class
+# English words plus punctuation. The exact file is not redistributable
+# here; deviations only reweight (never add/remove) matches.
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no all both few many
+much more most other another such same own
+i me my mine myself we us our ours ourselves you your yours yourself
+yourselves he him his himself she her hers herself it its itself they them
+their theirs themselves who whom whose which what where when why how
+and or but nor so yet for if because although though while whereas unless
+until since as than whether once
+in on at by with from into onto of to over under above below between among
+through during before after behind beside besides against about around
+across along near off out up down upon within without toward towards
+be am is are was were been being do does did doing have has had having
+will would shall should can could may might must ought need
+not never also just only even still too very quite rather almost always
+often sometimes again then there here now
+'s 't 'll 've 're 'd 'm n't
+. , ; : ! ? ' " ` `` '' ( ) [ ] { } - -- ... &
+""".split())
+
+
+def _stats_15(hyp, ref, delta, weights):
+    """Sufficient statistics for one segment (MeteorStats)."""
+    matches = align_modules(hyp, ref)
+    wf = lambda w: delta if w in FUNCTION_WORDS else 1.0 - delta
+    return {
+        "p_num": sum(weights[mod] * wf(hyp[h]) for h, _, mod in matches),
+        "r_num": sum(weights[mod] * wf(ref[r]) for _, r, mod in matches),
+        "p_den": sum(wf(w) for w in hyp),
+        "r_den": sum(wf(w) for w in ref),
+        "matches": len(matches),
+        "chunks": (_count_chunks([(h, r) for h, r, _ in matches])
+                   if matches else 0),
+    }
+
+
+def _score_15(s, alpha, beta, gamma):
+    if s["matches"] == 0 or s["p_den"] == 0 or s["r_den"] == 0:
+        return 0.0
+    precision = s["p_num"] / s["p_den"]
+    recall = s["r_num"] / s["r_den"]
+    denom = alpha * precision + (1 - alpha) * recall
+    if denom == 0:
+        return 0.0
+    fmean = precision * recall / denom
+    frag = s["chunks"] / s["matches"]
+    return fmean * (1.0 - gamma * frag ** beta)
+
+
+def meteor_15(candidates: list[list[str]], references: list[list[list[str]]],
+              alpha: float = METEOR15_EN["alpha"],
+              beta: float = METEOR15_EN["beta"],
+              gamma: float = METEOR15_EN["gamma"],
+              delta: float = METEOR15_EN["delta"],
+              weights: tuple = METEOR15_EN["weights"]) -> float:
+    """Corpus METEOR-1.5: per segment pick the reference with the best
+    sentence-level score, aggregate its sufficient statistics, and compute
+    the final score on the pooled totals (the jar's system-level score)."""
+    assert len(candidates) == len(references)
+    if not candidates:
+        return 0.0
+    totals = {k: 0.0 for k in
+              ("p_num", "r_num", "p_den", "r_den", "matches", "chunks")}
+    for cand, refs in zip(candidates, references):
+        hyp = [t.lower() for t in cand]
+        best = max((_stats_15(hyp, [t.lower() for t in r], delta, weights)
+                    for r in refs),
+                   key=lambda s: _score_15(s, alpha, beta, gamma))
+        for k in totals:
+            totals[k] += best[k]
+    return _score_15(totals, alpha, beta, gamma)
+
+
+def meteor_single_15(hyp_tokens: list[str], ref_tokens: list[str],
+                     alpha: float = METEOR15_EN["alpha"],
+                     beta: float = METEOR15_EN["beta"],
+                     gamma: float = METEOR15_EN["gamma"],
+                     delta: float = METEOR15_EN["delta"],
+                     weights: tuple = METEOR15_EN["weights"]) -> float:
+    """Sentence-level METEOR-1.5 (single reference)."""
+    s = _stats_15([t.lower() for t in hyp_tokens],
+                  [t.lower() for t in ref_tokens], delta, weights)
+    return _score_15(s, alpha, beta, gamma)

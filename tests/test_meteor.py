@@ -115,6 +115,81 @@ def test_alignment_indices_sorted_by_hypothesis():
     assert len(matches) == 3
 
 
+# ---------------------------------------------------------------------------
+# METEOR 1.5 mode
+# ---------------------------------------------------------------------------
+
+from hirest_tpu.eval.meteor import (FUNCTION_WORDS, meteor_15,  # noqa: E402
+                                    meteor_single_15)
+
+
+@pytest.mark.parametrize("hyp,ref", [
+    ("the cat sat on the mat", "the cat was sat on the mat"),
+    ("preheat the oven to 350 degrees", "heat oven to 350 degrees fahrenheit"),
+    ("running quickly", "run quick"),
+    ("slice the onions thinly", "thinly slice the onion"),
+    ("identical sentence", "identical sentence"),
+])
+def test_meteor15_reduces_to_nltk_with_matched_params(hyp, ref):
+    """With delta=0.5 (function/content weights equal) and unit module
+    weights, the 1.5 sentence formula reduces exactly to the 2005 formula
+    with the 1.5 alpha/beta/gamma — cross-checked against nltk."""
+    h, r = hyp.split(), ref.split()
+    ours = meteor_single_15(h, r, delta=0.5, weights=(1.0, 1.0))
+    oracle = single_meteor_score(r, h, stemmer=ORACLE_STEMMER,
+                                 wordnet=_NoWordnet(),
+                                 alpha=0.85, beta=0.2, gamma=0.6)
+    assert ours == pytest.approx(oracle, abs=1e-12)
+
+
+def test_meteor15_pinned_scores():
+    """Regression pins for the full English parameterization (alpha=.85,
+    beta=.2, gamma=.6, delta=.75, weights exact 1.0 / stem 0.6)."""
+    assert meteor_single_15(
+        "the cat sat on a mat".split(),
+        "the cat sat on the mat".split()) == pytest.approx(
+            0.3437037968486546, abs=1e-12)
+    assert meteor_single_15(
+        "slice the onions thinly".split(),
+        "thinly slice the onion".split()) == pytest.approx(
+            0.4458250178875038, abs=1e-12)
+    c = [["mix", "the", "flour"], ["bake", "for", "ten", "minutes"]]
+    r = [[["mix", "the", "flour", "and", "sugar"]],
+         [["bake", "ten", "minutes"], ["cook", "for", "ten", "minutes"]]]
+    assert meteor_15(c, r) == pytest.approx(0.359968793711015, abs=1e-12)
+
+
+def test_meteor15_function_word_discounting():
+    """delta=.75 weights function words at .75 and content words at .25 in
+    both numerator and denominator, so which word of a pair is missed
+    changes the score: missing the low-weight content word ("cat") costs
+    less weighted mass than missing the function word ("the")."""
+    assert "the" in FUNCTION_WORDS and "cat" not in FUNCTION_WORDS
+    hit_func = meteor_single_15(["the", "dog"], ["the", "cat"])
+    hit_cont = meteor_single_15(["a", "cat"], ["the", "cat"])
+    # matched function word (the) vs matched content word (cat): with
+    # delta=.75 the function-word match recovers more of the weighted mass
+    assert hit_func != hit_cont  # the two regimes are actually distinguished
+    assert hit_func > hit_cont
+
+
+def test_meteor15_pooled_aggregation_not_mean():
+    c = [["mix", "the", "flour"], ["bake", "for", "ten", "minutes"]]
+    r = [[["mix", "the", "flour", "and", "sugar"]],
+         [["bake", "ten", "minutes"], ["cook", "for", "ten", "minutes"]]]
+    pooled = meteor_15(c, r)
+    mean = np.mean([meteor_single_15(c[0], r[0][0]),
+                    max(meteor_single_15(c[1], rr) for rr in r[1])])
+    assert pooled != pytest.approx(mean, abs=1e-6)
+
+
+def test_meteor15_via_coco_evaluator_flag():
+    ev = coco.CocoEvaluator(coco_types=("METEOR",), meteor_version="1.5")
+    res = ev.run_evaluation(["the cat sat"], ["the cat sat"])
+    assert res["METEOR"] == pytest.approx(
+        meteor_15([["the", "cat", "sat"]], [[["the", "cat", "sat"]]]))
+
+
 def test_coco_evaluator_reports_meteor():
     ev = coco.CocoEvaluator()
     res = ev.run_evaluation(["the cat sat"], ["the cat sat"])
