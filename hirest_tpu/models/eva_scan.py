@@ -164,10 +164,15 @@ def build_scanned_vision_apply(params: dict,
     # fast_gelu: bf16-accurate short erf polynomial (see gelu_bf16_poly) —
     # the exact-erf epilogue XLA emits costs ~60 ms/call on the full trunk.
     act_fn = gelu_bf16_poly if fast_gelu else gelu
-    # xla_fences: optimization_barrier after each residual add, so the next
-    # LayerNorm's row-mean reduce cannot be epilogue-fused into the dot
-    # fusion (measured: out-proj fusion 42.7 -> 28.7 ms/call; the reduce
-    # serializes the dot's N-tiles otherwise). Identity math either way.
+    # xla_fences: optimization_barrier after each residual add AND each
+    # LayerNorm output. Residual fences stop the next LN's row-mean reduce
+    # being epilogue-fused into the dot fusion (measured: out-proj fusion
+    # 42.7 -> 28.7 ms/call; the reduce serializes the dot's N-tiles).
+    # LN-output fences stop the normalize chain being PRODUCER-fused into
+    # the following qkv/fc1 dot, where it recomputes per output tile
+    # (measured: fc1 dot fusion 188 ms @ 61.5% MFU with the fusion; the
+    # full fence set took the bf16 block stack 525.7 -> 459.3 ms/call).
+    # Identity math either way.
     fence = jax.lax.optimization_barrier if xla_fences else (lambda v: v)
 
     def block(x, w):
@@ -182,11 +187,11 @@ def build_scanned_vision_apply(params: dict,
                                 interpret=interpret)
             qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias, dtype)
         elif int8:
-            h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
+            h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
             h_q, h_s = _dyn_quant_rows(h)
             qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias, dtype)
         else:
-            h = _ln(x, w["norm1_scale"], w["norm1_bias"], eps)
+            h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
             qkv = h @ w["qkv_w"]
             if v2:
                 qkv = qkv + qkv_bias
@@ -227,7 +232,7 @@ def build_scanned_vision_apply(params: dict,
             a_q, a_s = _dyn_quant_rows(att.astype(dtype))
             x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
                                    w["out_b"], dtype))
-            h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
+            h = fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps))
             h_q, h_s = _dyn_quant_rows(h)
             h = act_fn(_int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"],
                                 w["fc1_b"], dtype))
@@ -236,7 +241,7 @@ def build_scanned_vision_apply(params: dict,
                                    w["fc2_b"], dtype))
         else:
             x = fence(x + (att.astype(dtype) @ w["out_w"] + w["out_b"]))
-            h = _ln(x, w["norm2_scale"], w["norm2_bias"], eps)
+            h = fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps))
             h = act_fn(h @ w["fc1_w"] + w["fc1_b"])
             x = fence(x + (h @ w["fc2_w"] + w["fc2_b"]))
         return x, None
