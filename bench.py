@@ -98,7 +98,8 @@ def build_host_params(padded_heads: bool = True):
 
 def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                     scan: bool = True, dtype_name: str = "bfloat16",
-                    fused_quant: bool = False, attn_v2: bool = False):
+                    fused_quant: bool = False, attn_v2: bool = False,
+                    flat2d: bool = False):
     """-> apply(images) with weights staged on device once (bf16/int8)."""
     import jax
     import jax.numpy as jnp
@@ -110,7 +111,7 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
         return build_scanned_vision_apply(params, cfg, int8=int8,
                                           use_pallas=use_pallas, dtype=dtype,
                                           fused_quant=fused_quant,
-                                          attn_v2=attn_v2)
+                                          attn_v2=attn_v2, flat2d=flat2d)
     if int8:
         from hirest_tpu.models.eva_quant import build_int8_vision_apply
 
@@ -298,21 +299,30 @@ def main():
         if arg.startswith("--batch="):
             batches = [int(x) for x in arg.split("=")[1].split(",")]
 
-    # Config ladder: (int8, fused_quant, attn_v2). The measured-good
+    # Config ladder: (int8, fused_quant, attn_v2, flat2d). The measured-good
     # baselines run alongside the newer kernel paths; any config that fails
     # to build/compile on the chip is skipped and the best survivor wins,
     # so an unproven kernel can only improve the reported number.
     if "--int8" in sys.argv:
-        ladder = [(True, False, False)]
+        ladder = [(True, False, False, False)]
     elif "--bf16" in sys.argv:
-        ladder = [(False, False, False)]
+        ladder = [(False, False, False, False)]
     else:
-        ladder = [(False, False, False), (False, False, True),
-                  (True, False, False), (True, True, True)]
+        ladder = [
+            (False, False, False, False),   # bf16 baseline (measured-good)
+            (False, False, True, False),    # bf16 + v2 kernel
+            (False, False, False, True),    # bf16 flat trunk
+            (False, False, True, True),     # bf16 flat + v2
+            (True, False, False, False),    # int8 baseline
+            (True, True, True, False),      # int8 + fused quant + v2
+            (True, False, True, True),      # int8 flat + v2
+        ]
     if "--fused-quant" in sys.argv or "--attn-v2" in sys.argv:
         fq_f = "--fused-quant" in sys.argv
         v2_f = "--attn-v2" in sys.argv
-        ladder = [(i8, fq_f and i8, v2_f) for (i8, _, _) in ladder]
+        ladder = [(i8, fq_f and i8, v2_f, fl) for (i8, _, _, fl) in ladder]
+    if "--flat2d" in sys.argv:
+        ladder = [(i8, fq, v2, True) for (i8, fq, v2, _) in ladder]
 
     tf_per_frame = eva_useful_tflops_per_frame()
     peak = chip_peak_bf16()
@@ -324,13 +334,13 @@ def main():
           file=sys.stderr)
 
     best, best_cfg = 0.0, {}
-    for int8, fq, v2 in ladder:
+    for int8, fq, v2, flat in ladder:
         tag = (("int8" if int8 else "bf16") + ("+fq" if fq else "")
-               + ("+v2" if v2 else ""))
+               + ("+v2" if v2 else "") + ("+flat" if flat else ""))
         try:
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
                                     int8=int8, scan=scan, fused_quant=fq,
-                                    attn_v2=v2)
+                                    attn_v2=v2, flat2d=flat)
         except Exception as e:
             print(f"# build {tag} failed: {e}", file=sys.stderr)
             continue

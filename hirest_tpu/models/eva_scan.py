@@ -27,7 +27,8 @@ import numpy as np
 from hirest_tpu.config import EvaVisionConfig
 from hirest_tpu.models.layers import (gelu, gelu_bf16_poly, merge_heads,
                                        split_heads)
-from hirest_tpu.ops.attention import (fused_attention, fused_attention_qkv,
+from hirest_tpu.ops.attention import (fused_attention, fused_attention_flat,
+                                      fused_attention_qkv,
                                       fused_attention_qkv2)
 
 
@@ -88,10 +89,12 @@ def _dyn_quant_rows(x):
 
 
 def _int8_mm(x_q, x_s, w_q, w_s, bias, out_dtype):
-    """x_q [B, N, in] int8, w_q [in, out] int8 -> [B, N, out] out_dtype."""
-    acc = jax.lax.dot_general(x_q, w_q, (((2,), (0,)), ((), ())),
+    """x_q [..., in] int8, w_q [in, out] int8 -> [..., out] out_dtype
+    (works for the 3D [B, N, in] and the flat 2D [B*N, in] trunk layouts)."""
+    acc = jax.lax.dot_general(x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * x_s * w_s[None, None, :]
+    out = (acc.astype(jnp.float32) * x_s
+           * w_s.reshape((1,) * (x_q.ndim - 1) + (-1,)))
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(out_dtype)
@@ -104,7 +107,8 @@ def build_scanned_vision_apply(params: dict,
                                remat: bool = False, fused_quant: bool = False,
                                fast_gelu: bool = True,
                                xla_fences: bool = True,
-                               attn_v2: bool = False):
+                               attn_v2: bool = False,
+                               flat2d: bool = False):
     """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
     block stack runs under `lax.scan` (one-block compile time).
 
@@ -175,7 +179,57 @@ def build_scanned_vision_apply(params: dict,
     # Identity math either way.
     fence = jax.lax.optimization_barrier if xla_fences else (lambda v: v)
 
+    # flat2d: the trunk runs as [B*S, C] — a 2D dot emits a plain {1,0}
+    # layout, sidestepping the 3D batch-in-sublanes layout negotiation that
+    # costs the [B, S, C] qkv matmul ~13% MFU against the pallas operand's
+    # forced {2,1,0} (reshapes at the jit boundary are bitcasts).
+    n_tokens = grid * grid + 1
+    if flat2d:
+        assert not fused_quant, "flat2d + fused_quant not yet supported"
+        assert packed or interpret, "flat2d needs the pallas flat kernel"
+
+    def block_flat(x, w):
+        qkv_bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
+                                     w["v_bias"]], -1)
+        h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
+        if int8:
+            h_q, h_s = _dyn_quant_rows(h)
+            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"],
+                           qkv_bias3 if attn_v2 else None, dtype)
+        else:
+            qkv = h @ w["qkv_w"]
+            if attn_v2:
+                qkv = qkv + qkv_bias3
+        if attn_v2:
+            att = fused_attention_flat(qkv.astype(dtype), scale, heads,
+                                       n_tokens, rows_per_cell=2,
+                                       interpret=interpret)
+        else:
+            att = fused_attention_flat(qkv.astype(dtype), scale, heads,
+                                       n_tokens, q_bias=w["q_bias"],
+                                       v_bias=w["v_bias"],
+                                       interpret=interpret)
+        if int8:
+            a_q, a_s = _dyn_quant_rows(att)
+            x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
+                                   w["out_b"], dtype))
+            h = fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps))
+            h_q, h_s = _dyn_quant_rows(h)
+            h = act_fn(_int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"],
+                                w["fc1_b"], dtype))
+            h_q, h_s = _dyn_quant_rows(h)
+            x = fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
+                                   w["fc2_b"], dtype))
+        else:
+            x = fence(x + (att.astype(dtype) @ w["out_w"] + w["out_b"]))
+            h = fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps))
+            h = act_fn(h @ w["fc1_w"] + w["fc1_b"])
+            x = fence(x + (h @ w["fc2_w"] + w["fc2_b"]))
+        return x, None
+
     def block(x, w):
+        if flat2d:
+            return block_flat(x, w)
         # attn_v2 pre-folds the q/v biases into the qkv projection's
         # epilogue (a free broadcast add in the dot fusion), so the lean
         # kernel receives bias-complete rows
@@ -257,7 +311,11 @@ def build_scanned_vision_apply(params: dict,
         x = jnp.concatenate(
             [jnp.broadcast_to(c["cls_token"], (bsz, 1, cfg.width)), x], 1)
         x = x + c["pos"]
+        if flat2d:
+            x = x.reshape(bsz * n_tokens, cfg.width)
         x, _ = jax.lax.scan(body, x, xs)
+        if flat2d:
+            x = x.reshape(bsz, n_tokens, cfg.width)
         x = _ln(x, c["fnorm_scale"], c["fnorm_bias"], eps)
         return (x[:, 0] @ c["head_w"] + c["head_b"]).astype(jnp.float32)
 

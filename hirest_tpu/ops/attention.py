@@ -461,6 +461,110 @@ def fused_attention_qkv(qkv, q_bias, v_bias, scale: float, num_heads: int,
     )(qkv, q_bias.astype(qkv.dtype), v_bias.astype(qkv.dtype))
 
 
+def _attn_kernel_flat(qkv_ref, qb_ref, vb_ref, o_ref, *, scale: float,
+                      heads: int, d: int, s: int, rows: int):
+    """2D fused-qkv attention: qkv_ref [rows*s, 3*H*D] — `rows` batches'
+    token blocks stacked along the sublane dim (the flat [B*S, C] trunk
+    layout), biases [H*D]. Per-batch token blocks are CONTIGUOUS sublane
+    ranges, so slicing them is free; everything else matches
+    _attn_kernel_qkvfused."""
+    hd = heads * d
+    for r in range(rows):
+        row = qkv_ref[r * s:(r + 1) * s]
+        q_all = row[:, :hd] + qb_ref[...][None, :]
+        k_all = row[:, hd: 2 * hd]
+        v_all = row[:, 2 * hd:] + vb_ref[...][None, :]
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            sc = jnp.dot(q_all[:, sl], k_all[:, sl].T,
+                         preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(sc, axis=-1).astype(row.dtype)
+            o_ref[r * s:(r + 1) * s, sl] = jnp.dot(
+                p, v_all[:, sl], preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+def _attn_kernel_flat2(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
+                       s: int, rows: int):
+    """Lean 2D variant: biases pre-added by the caller (folded into the qkv
+    matmul epilogue), exp2 softmax with the logit scale in the exponent
+    multiplier, normalizer applied to the [s, D] output."""
+    hd = heads * d
+    c = scale * LOG2E
+    for r in range(rows):
+        row = qkv_ref[r * s:(r + 1) * s]
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            sc = jnp.dot(row[:, sl], row[:, hd + h * d: hd + (h + 1) * d].T,
+                         preferred_element_type=jnp.float32)
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp2((sc - m) * c).astype(row.dtype)
+            den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jnp.dot(p, row[:, 2 * hd + h * d: 2 * hd + (h + 1) * d],
+                        preferred_element_type=jnp.float32)
+            o_ref[r * s:(r + 1) * s, sl] = (o / den).astype(o_ref.dtype)
+
+
+def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
+                         q_bias=None, v_bias=None, rows_per_cell: int = 1,
+                         interpret: bool = False):
+    """Self-attention over the FLAT trunk layout: qkv2d [B*S, 3*H*D] with
+    per-batch token blocks contiguous along rows (x was reshaped from
+    [B, S, C] — a bitcast).
+
+    Why flat: a 2D dot emits a plain {1,0}-layout result, so the qkv
+    projection never pays the 3D batch-in-sublanes layout negotiation that
+    costs the [B, S, C] path ~13%% MFU on the qkv matmul (pallas_call
+    forces {2,1,0} on its operand while the 3D dot emitter prefers
+    {2,0,1}; see BENCHLOG round-2 device profile).
+
+    With q_bias/v_bias given, biases are added in-kernel (classic softmax);
+    with both None the caller must pre-add them (folded into the qkv dot
+    epilogue) and the lean exp2 kernel runs."""
+    m, three_hd = qkv2d.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    b = m // seq_len
+    r = rows_per_cell if b % rows_per_cell == 0 else 1
+
+    vmem = pltpu.VMEM if pltpu else None
+    qkv_spec = pl.BlockSpec((r * seq_len, three_hd), lambda i: (i, 0),
+                            memory_space=vmem)
+    o_spec = pl.BlockSpec((r * seq_len, hd), lambda i: (i, 0),
+                          memory_space=vmem)
+    s_pad, d_pad = _round_up(seq_len, 16), _round_up(d, 128)
+    cost = pl.CostEstimate(
+        flops=2 * b * num_heads * (s_pad * s_pad * d_pad * 2),
+        bytes_accessed=(m * three_hd + m * hd) * qkv2d.dtype.itemsize,
+        transcendentals=b * num_heads * s_pad * s_pad,
+    )
+    if q_bias is None and v_bias is None:
+        kernel = functools.partial(_attn_kernel_flat2, scale=scale,
+                                   heads=num_heads, d=d, s=seq_len, rows=r)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // r,),
+            in_specs=[qkv_spec],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((m, hd), qkv2d.dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qkv2d)
+    assert q_bias is not None and v_bias is not None
+    bias_spec = pl.BlockSpec((hd,), lambda i: (0,), memory_space=vmem)
+    kernel = functools.partial(_attn_kernel_flat, scale=scale,
+                               heads=num_heads, d=d, s=seq_len, rows=r)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // r,),
+        in_specs=[qkv_spec, bias_spec, bias_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((m, hd), qkv2d.dtype),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(qkv2d, q_bias.astype(qkv2d.dtype), v_bias.astype(qkv2d.dtype))
+
+
 def fused_attention_packed(q, k, v, scale: float, num_heads: int,
                            key_mask=None, use_pallas: bool = True,
                            interpret: bool = False,

@@ -71,6 +71,32 @@ def test_scanned_pallas_interpret(tiny_setup):
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
 
+def test_scanned_flat2d_matches_3d():
+    """flat2d (the [B*S, C] trunk with the 2D flat attention kernels) must
+    match the 3D path numerically in every supported combination."""
+    cfg = EvaVisionConfig(image_size=28, layers=3, width=128, head_width=32,
+                          mlp_ratio=4.0, patch_size=14, embed_dim=32)
+    tower = EvaVisionTower(cfg, dtype=jnp.float32)
+    imgs = jnp.asarray(
+        np.random.default_rng(11).normal(size=(4, 28, 28, 3)), jnp.float32)
+    params = shape_only_init(tower, imgs[:1])
+    kw = dict(use_pallas=True, interpret=True, dtype=jnp.float32,
+              fast_gelu=False)
+    ref = np.asarray(build_scanned_vision_apply(params, cfg, **kw)(imgs))
+    assert not np.allclose(ref, 0)
+    for attn_v2 in (False, True):
+        out = np.asarray(build_scanned_vision_apply(
+            params, cfg, flat2d=True, attn_v2=attn_v2, **kw)(imgs))
+        np.testing.assert_allclose(ref, out, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"attn_v2={attn_v2}")
+    # int8 flat vs int8 3D (identical quantization points -> tight match)
+    ref8 = np.asarray(build_scanned_vision_apply(
+        params, cfg, int8=True, **kw)(imgs))
+    out8 = np.asarray(build_scanned_vision_apply(
+        params, cfg, int8=True, flat2d=True, **kw)(imgs))
+    np.testing.assert_allclose(ref8, out8, rtol=2e-4, atol=2e-4)
+
+
 def test_scanned_attn_v2_matches_v1():
     """attn_v2 (lean fused-qkv kernel, biases pre-folded into the qkv
     projection epilogue) must match the v1 kernel path numerically. Needs

@@ -192,3 +192,33 @@ def test_padded_head_transform_is_identity():
     assert padded_cfg.num_heads == cfg.num_heads == 4
     got = np.asarray(EvaVisionTower(padded_cfg).apply(padded_params, imgs))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flat_kernels_match_3d_at_eva_dims():
+    """fused_attention_flat ([B*S, 3HD] 2D trunk layout) must be exact vs
+    the 3D fused-qkv kernels at the real EVA-g dims (S=257, 16x88)."""
+    from hirest_tpu.ops.attention import (fused_attention_flat,
+                                          fused_attention_qkv,
+                                          fused_attention_qkv2)
+
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 257, 16, 88
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * H * D)), jnp.float32) * 0.2
+    qb = jnp.asarray(rng.normal(size=(H * D,)), jnp.float32) * 0.1
+    vb = jnp.asarray(rng.normal(size=(H * D,)), jnp.float32) * 0.1
+    scale = D ** -0.5
+
+    ref = np.asarray(fused_attention_qkv(qkv, qb, vb, scale, H,
+                                         interpret=True))
+    flat = np.asarray(fused_attention_flat(
+        qkv.reshape(B * S, 3 * H * D), scale, H, S, q_bias=qb, v_bias=vb,
+        interpret=True)).reshape(B, S, H * D)
+    np.testing.assert_allclose(ref, flat, atol=1e-6)
+
+    bias3 = jnp.concatenate([qb, jnp.zeros_like(qb), vb], -1)
+    ref2 = np.asarray(fused_attention_qkv2(qkv + bias3, scale, H,
+                                           interpret=True))
+    flat2 = np.asarray(fused_attention_flat(
+        (qkv + bias3).reshape(B * S, 3 * H * D), scale, H, S,
+        rows_per_cell=2, interpret=True)).reshape(B, S, H * D)
+    np.testing.assert_allclose(ref2, flat2, atol=1e-6)

@@ -153,7 +153,44 @@ def build(variant: str, int8: bool, batch: int):
             x = jax.lax.optimization_barrier(x)
         return x, None
 
+    def block_flat(x, w):
+        """Flat [B*S, C] trunk (2D dots, no 3D layout negotiation); composes
+        with 'attn2' (pre-added biases + exp2 kernel) and int8."""
+        from hirest_tpu.ops.attention import fused_attention_flat
+
+        h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
+        if fences:
+            h = jax.lax.optimization_barrier(h)
+        if "attn2" in variant:
+            bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
+                                     w["v_bias"]], -1)
+            if int8:
+                h_q, h_s = _dyn_quant_rows(h)
+                qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], bias3,
+                               dtype)
+            else:
+                qkv = (h @ w["qkv_w"] + bias3).astype(dtype)
+            att = fused_attention_flat(qkv, SCALE, HEADS, S, rows_per_cell=2)
+        else:
+            qkv = project_qkv(h, w).astype(dtype)
+            att = fused_attention_flat(qkv, SCALE, HEADS, S,
+                                       q_bias=w["q_bias"],
+                                       v_bias=w["v_bias"])
+        x = x + mm(att.astype(dtype), w, "out")
+        if fences:
+            x = jax.lax.optimization_barrier(x)
+        h = _ln(x, w["norm2_scale"], w["norm2_bias"], EPS)
+        if fences:
+            h = jax.lax.optimization_barrier(h)
+        h = act(mm(h, w, "fc1"))
+        x = x + mm(h, w, "fc2")
+        if fences:
+            x = jax.lax.optimization_barrier(x)
+        return x, None
+
     def block(x, w):
+        if "flat" in variant:
+            return block_flat(x, w)
         if fq:
             return block_fq(x, w)
         if "attn2" in variant:
@@ -199,6 +236,10 @@ def build(variant: str, int8: bool, batch: int):
         return x, None
 
     def forward(x, xs):
+        if "flat" in variant:
+            b2 = x.shape[0]
+            y, _ = jax.lax.scan(block, x.reshape(b2 * S, C), xs)
+            return y.reshape(b2, S, C)
         y, _ = jax.lax.scan(block, x, xs)
         return y
 

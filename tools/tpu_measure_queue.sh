@@ -20,12 +20,13 @@ run() {
 # 0. production bench FIRST (the headline number; probes after)
 run bench_ladder python bench.py --batch=128 --no-cache
 
-# 1. v2 attention kernel, bf16 (device-ms via trace)
+# 1. v2 attention kernel + flat trunk, bf16 (device-ms via trace)
 run attn2_bf16 python tools/block_probe.py \
-  --variants attn2-fastgelu-fences --iters 2 --hlodir "$OUT/hlo"
+  --variants attn2-fastgelu-fences,flat-fastgelu-fences,flat-attn2-fastgelu-fences \
+  --iters 2 --hlodir "$OUT/hlo"
 
-# 2. int8: current dyn-quant vs fused-quant kernels (+ v2 attention)
+# 2. int8: current dyn-quant vs fused-quant kernels (+ v2 attention, flat)
 run int8_pair python tools/block_probe.py --int8 \
-  --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu --iters 2 \
-  --hlodir "$OUT/hlo"
+  --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu,flat-attn2-fastgelu-fences \
+  --iters 2 --hlodir "$OUT/hlo"
 
