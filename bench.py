@@ -316,6 +316,7 @@ def main():
             (True, False, False, False),    # int8 baseline
             (True, True, True, False),      # int8 + fused quant + v2
             (True, False, True, True),      # int8 flat + v2
+            (True, True, True, True),       # int8 flat + fused quant + v2
         ]
     if "--fused-quant" in sys.argv or "--attn-v2" in sys.argv:
         fq_f = "--fused-quant" in sys.argv

@@ -185,22 +185,32 @@ def build_scanned_vision_apply(params: dict,
     # forced {2,1,0} (reshapes at the jit boundary are bitcasts).
     n_tokens = grid * grid + 1
     if flat2d:
-        assert not fused_quant, "flat2d + fused_quant not yet supported"
         assert packed or interpret, "flat2d needs the pallas flat kernel"
 
     def block_flat(x, w):
         qkv_bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
                                      w["v_bias"]], -1)
-        h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
-        if int8:
+        if fq:
+            h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], eps,
+                                interpret=interpret, row_block=n_tokens)
+            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"],
+                           qkv_bias3 if attn_v2 else None, dtype)
+        elif int8:
+            h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
             h_q, h_s = _dyn_quant_rows(h)
             qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"],
                            qkv_bias3 if attn_v2 else None, dtype)
         else:
+            h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
             qkv = h @ w["qkv_w"]
             if attn_v2:
                 qkv = qkv + qkv_bias3
-        if attn_v2:
+        a_q = a_s = att = None
+        if attn_v2 and fq:
+            a_q, a_s = fused_attention_flat(qkv.astype(dtype), scale, heads,
+                                            n_tokens, interpret=interpret,
+                                            quant_out=True)
+        elif attn_v2:
             att = fused_attention_flat(qkv.astype(dtype), scale, heads,
                                        n_tokens, rows_per_cell=2,
                                        interpret=interpret)
@@ -209,7 +219,22 @@ def build_scanned_vision_apply(params: dict,
                                        n_tokens, q_bias=w["q_bias"],
                                        v_bias=w["v_bias"],
                                        interpret=interpret)
-        if int8:
+        if fq:
+            if a_q is None:
+                a_q, a_s = act_quant(att.astype(dtype), interpret=interpret,
+                                     row_block=n_tokens)
+            x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
+                                   w["out_b"], dtype))
+            h_q, h_s = ln_quant(x, w["norm2_scale"], w["norm2_bias"], eps,
+                                interpret=interpret, row_block=n_tokens)
+            h = _int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"],
+                         dtype)
+            h_q, h_s = act_quant(h, act=("gelu_poly" if fast_gelu
+                                         else "gelu"),
+                                 interpret=interpret, row_block=n_tokens)
+            x = fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
+                                   w["fc2_b"], dtype))
+        elif int8:
             a_q, a_s = _dyn_quant_rows(att)
             x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
                                    w["out_b"], dtype))

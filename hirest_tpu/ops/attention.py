@@ -505,9 +505,37 @@ def _attn_kernel_flat2(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
             o_ref[r * s:(r + 1) * s, sl] = (o / den).astype(o_ref.dtype)
 
 
+def _attn_kernel_flat2_quant(qkv_ref, q_ref, s_ref, acc_ref, *, scale: float,
+                             heads: int, d: int, s: int, rows: int):
+    """_attn_kernel_flat2 with the int8 quantization epilogue: per-head
+    outputs accumulate in f32 VMEM scratch, then one per-row dynamic int8
+    quantization over the full H*D row emits codes + scales (matching
+    eva_scan._dyn_quant_rows), so the attention output never round-trips
+    to HBM in bf16."""
+    hd = heads * d
+    c = scale * LOG2E
+    for r in range(rows):
+        row = qkv_ref[r * s:(r + 1) * s]
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            sc = jnp.dot(row[:, sl], row[:, hd + h * d: hd + (h + 1) * d].T,
+                         preferred_element_type=jnp.float32)
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp2((sc - m) * c).astype(row.dtype)
+            den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            o = jnp.dot(p, row[:, 2 * hd + h * d: 2 * hd + (h + 1) * d],
+                        preferred_element_type=jnp.float32)
+            acc_ref[r * s:(r + 1) * s, sl] = o / den
+        y = acc_ref[r * s:(r + 1) * s]
+        qs = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+        q_ref[r * s:(r + 1) * s] = jnp.clip(jnp.round(y / qs), -127,
+                                            127).astype(jnp.int8)
+        s_ref[r * s:(r + 1) * s] = qs
+
+
 def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
                          q_bias=None, v_bias=None, rows_per_cell: int = 1,
-                         interpret: bool = False):
+                         interpret: bool = False, quant_out: bool = False):
     """Self-attention over the FLAT trunk layout: qkv2d [B*S, 3*H*D] with
     per-batch token blocks contiguous along rows (x was reshaped from
     [B, S, C] — a bitcast).
@@ -539,6 +567,24 @@ def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
         transcendentals=b * num_heads * s_pad * s_pad,
     )
     if q_bias is None and v_bias is None:
+        if quant_out:
+            assert pltpu is not None, "quant_out needs pallas TPU scratch"
+            s_spec = pl.BlockSpec((r * seq_len, 1), lambda i: (i, 0),
+                                  memory_space=vmem)
+            kernel = functools.partial(_attn_kernel_flat2_quant, scale=scale,
+                                       heads=num_heads, d=d, s=seq_len,
+                                       rows=r)
+            return pl.pallas_call(
+                kernel,
+                grid=(b // r,),
+                in_specs=[qkv_spec],
+                out_specs=[o_spec, s_spec],
+                out_shape=[jax.ShapeDtypeStruct((m, hd), jnp.int8),
+                           jax.ShapeDtypeStruct((m, 1), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((r * seq_len, hd), jnp.float32)],
+                interpret=interpret,
+                cost_estimate=cost,
+            )(qkv2d)
         kernel = functools.partial(_attn_kernel_flat2, scale=scale,
                                    heads=num_heads, d=d, s=seq_len, rows=r)
         return pl.pallas_call(
@@ -550,6 +596,7 @@ def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
             interpret=interpret,
             cost_estimate=cost,
         )(qkv2d)
+    assert not quant_out, "quant_out requires pre-added biases (flat2 path)"
     assert q_bias is not None and v_bias is not None
     bias_spec = pl.BlockSpec((hd,), lambda i: (0,), memory_space=vmem)
     kernel = functools.partial(_attn_kernel_flat, scale=scale,

@@ -114,14 +114,74 @@ def _row_specs(b: int, seq: int, c: int):
     return grid, x_spec, s_spec, vmem
 
 
-def ln_quant(x, g, b, eps: float, *, interpret: bool = False):
+def _row_specs_flat(m: int, c: int, row_block: int | None):
+    """Specs for the flat [M, C] trunk layout. row_block (the per-batch
+    token count, from the caller) is scaled to the largest multiple that
+    fits the VMEM budget so blocks divide M exactly; without it, a
+    32-multiple block with a ragged cdiv tail is used."""
+    budget = 10 * 1024 * 1024
+    per_row = c * (4 + 2 * 2 + 2 * 1) + 8
+    if row_block:
+        br = row_block * max(1, budget // per_row // row_block)
+        while m % br:
+            br -= row_block
+        br = max(br, row_block)
+    else:
+        br = _pick_row_block(m, c)
+    vmem = pltpu.VMEM if pltpu else None
+    x_spec = pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=vmem)
+    s_spec = pl.BlockSpec((br, 1), lambda i: (i, 0), memory_space=vmem)
+    return (pl.cdiv(m, br),), x_spec, s_spec, vmem
+
+
+def _ln_quant_kernel_flat(x_ref, g_ref, b_ref, q_ref, s_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    var = (xc * xc).mean(-1, keepdims=True)
+    y = (xc * jax.lax.rsqrt(var + eps) * g_ref[...][None, :]
+         + b_ref[...][None, :])
+    s = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+    q_ref[...] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+    s_ref[...] = s
+
+
+def _act_quant_kernel_flat(x_ref, q_ref, s_ref, *, act: str):
+    y = x_ref[...].astype(jnp.float32)
+    if act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
+    elif act == "gelu_poly":
+        from hirest_tpu.models.layers import gelu_bf16_poly
+        y = gelu_bf16_poly(y)
+    s = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+    q_ref[...] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+    s_ref[...] = s
+
+
+def ln_quant(x, g, b, eps: float, *, interpret: bool = False,
+             row_block: int | None = None):
     """LayerNorm + dynamic per-row int8 quantization in one pass.
 
-    x [B, S, C] (bf16/f32), g/b [C] -> (q int8 [B, S, C], s f32 [B, S, 1])
-    with q*s ~= LN(x). The LN result never round-trips through bf16 (the
-    unfused path casts to bf16 between LN and quantization), so this is
-    numerically at least as faithful as _ln + _dyn_quant_rows.
+    x [B, S, C] or flat [M, C] (bf16/f32), g/b [C] -> (q int8, s f32
+    [..., 1]) with q*s ~= LN(x). The LN result never round-trips through
+    bf16 (the unfused path casts to bf16 between LN and quantization), so
+    this is numerically at least as faithful as _ln + _dyn_quant_rows.
+    For flat inputs pass row_block (per-batch token count) so blocks
+    divide M exactly.
     """
+    if x.ndim == 2:
+        m, c = x.shape
+        grid, x_spec, s_spec, vmem = _row_specs_flat(m, c, row_block)
+        g_spec = pl.BlockSpec((c,), lambda i: (0,), memory_space=vmem)
+        return pl.pallas_call(
+            functools.partial(_ln_quant_kernel_flat, eps=eps),
+            grid=grid,
+            in_specs=[x_spec, g_spec, g_spec],
+            out_specs=[x_spec, s_spec],
+            out_shape=[jax.ShapeDtypeStruct((m, c), jnp.int8),
+                       jax.ShapeDtypeStruct((m, 1), jnp.float32)],
+            interpret=interpret,
+        )(x, g.astype(jnp.float32), b.astype(jnp.float32))
     bsz, seq, c = x.shape
     grid, x_spec, s_spec, vmem = _row_specs(bsz, seq, c)
     g_spec = pl.BlockSpec((c,), lambda i, j: (0,), memory_space=vmem)
@@ -136,10 +196,23 @@ def ln_quant(x, g, b, eps: float, *, interpret: bool = False):
     )(x, g.astype(jnp.float32), b.astype(jnp.float32))
 
 
-def act_quant(x, *, act: str = "none", interpret: bool = False):
+def act_quant(x, *, act: str = "none", interpret: bool = False,
+              row_block: int | None = None):
     """Optional activation (exact-erf gelu) + per-row int8 quantization.
 
-    x [B, S, C] -> (q int8 [B, S, C], s f32 [B, S, 1]), q*s ~= act(x)."""
+    x [B, S, C] or flat [M, C] -> (q int8, s f32 [..., 1]), q*s ~= act(x)."""
+    if x.ndim == 2:
+        m, c = x.shape
+        grid, x_spec, s_spec, _ = _row_specs_flat(m, c, row_block)
+        return pl.pallas_call(
+            functools.partial(_act_quant_kernel_flat, act=act),
+            grid=grid,
+            in_specs=[x_spec],
+            out_specs=[x_spec, s_spec],
+            out_shape=[jax.ShapeDtypeStruct((m, c), jnp.int8),
+                       jax.ShapeDtypeStruct((m, 1), jnp.float32)],
+            interpret=interpret,
+        )(x)
     bsz, seq, c = x.shape
     grid, x_spec, s_spec, _ = _row_specs(bsz, seq, c)
     return pl.pallas_call(

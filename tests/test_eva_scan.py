@@ -95,6 +95,14 @@ def test_scanned_flat2d_matches_3d():
     out8 = np.asarray(build_scanned_vision_apply(
         params, cfg, int8=True, flat2d=True, **kw)(imgs))
     np.testing.assert_allclose(ref8, out8, rtol=2e-4, atol=2e-4)
+    # fused-quant flat (ln_quant/act_quant 2D + flat attention quant
+    # epilogue) vs the plain int8 3D reference
+    for attn_v2 in (False, True):
+        outfq = np.asarray(build_scanned_vision_apply(
+            params, cfg, int8=True, fused_quant=True, flat2d=True,
+            attn_v2=attn_v2, **kw)(imgs))
+        np.testing.assert_allclose(ref8, outfq, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"fq attn_v2={attn_v2}")
 
 
 def test_scanned_attn_v2_matches_v1():

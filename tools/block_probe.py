@@ -190,6 +190,8 @@ def build(variant: str, int8: bool, batch: int):
 
     def block(x, w):
         if "flat" in variant:
+            assert not fq, ("fq+flat probing not wired here — measure via "
+                            "bench.py's (int8, fq, v2, flat) ladder config")
             return block_flat(x, w)
         if fq:
             return block_fq(x, w)
