@@ -121,11 +121,10 @@ def _row_specs_flat(m: int, c: int, row_block: int | None):
     32-multiple block with a ragged cdiv tail is used."""
     budget = 10 * 1024 * 1024
     per_row = c * (4 + 2 * 2 + 2 * 1) + 8
-    if row_block:
+    if row_block and m % row_block == 0:
         br = row_block * max(1, budget // per_row // row_block)
         while m % br:
             br -= row_block
-        br = max(br, row_block)
     else:
         br = _pick_row_block(m, c)
     vmem = pltpu.VMEM if pltpu else None
