@@ -99,7 +99,7 @@ def build_host_params(padded_heads: bool = True):
 def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                     scan: bool = True, dtype_name: str = "bfloat16",
                     fused_quant: bool = False, attn_v2: bool = False,
-                    flat2d: bool = False):
+                    flat2d: bool = False, staged=None):
     """-> apply(images) with weights staged on device once (bf16/int8)."""
     import jax
     import jax.numpy as jnp
@@ -111,7 +111,8 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
         return build_scanned_vision_apply(params, cfg, int8=int8,
                                           use_pallas=use_pallas, dtype=dtype,
                                           fused_quant=fused_quant,
-                                          attn_v2=attn_v2, flat2d=flat2d)
+                                          attn_v2=attn_v2, flat2d=flat2d,
+                                          staged=staged)
     if int8:
         from hirest_tpu.models.eva_quant import build_int8_vision_apply
 
@@ -335,13 +336,24 @@ def main():
           file=sys.stderr)
 
     best, best_cfg = 0.0, {}
+    staged_by_prec = {}  # one device upload per precision for all configs
     for int8, fq, v2, flat in ladder:
         tag = (("int8" if int8 else "bf16") + ("+fq" if fq else "")
                + ("+v2" if v2 else "") + ("+flat" if flat else ""))
         try:
+            if scan and int8 not in staged_by_prec:
+                from hirest_tpu.models.eva_scan import stage_scanned_params
+                import jax.numpy as jnp
+
+                t1 = time.perf_counter()
+                staged_by_prec[int8] = stage_scanned_params(
+                    params, cfg, int8=int8, dtype=jnp.bfloat16)
+                print(f"# staged {'int8' if int8 else 'bf16'} params in "
+                      f"{time.perf_counter() - t1:.1f}s", file=sys.stderr)
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
                                     int8=int8, scan=scan, fused_quant=fq,
-                                    attn_v2=v2, flat2d=flat)
+                                    attn_v2=v2, flat2d=flat,
+                                    staged=staged_by_prec.get(int8))
         except Exception as e:
             print(f"# build {tag} failed: {e}", file=sys.stderr)
             continue

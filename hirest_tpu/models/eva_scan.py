@@ -100,6 +100,36 @@ def _int8_mm(x_q, x_s, w_q, w_s, bias, out_dtype):
     return out.astype(out_dtype)
 
 
+def stage_scanned_params(params: dict, cfg: EvaVisionConfig,
+                         *, int8: bool = False, dtype=jnp.bfloat16):
+    """Upload the scanned-forward parameter set to the device once:
+    -> (consts, xs) device trees. The same staged pair serves EVERY kernel
+    configuration of the same precision (v2/flat/fused-quant differ only in
+    program, not weights) — important through the ~48 MB/s axon tunnel,
+    where re-staging ~2 GB per bench config would dominate wall time."""
+    p = params["params"] if "params" in params else params
+    stacked = stack_block_params(params, cfg)
+    consts = {
+        "patch_w": jnp.asarray(p["patch_embed"]["kernel"], dtype),
+        "patch_b": jnp.asarray(p["patch_embed"]["bias"], dtype),
+        "head_w": jnp.asarray(p["head"]["kernel"], dtype),
+        "head_b": jnp.asarray(p["head"]["bias"], dtype),
+        "cls_token": jnp.asarray(p["cls_token"], dtype),
+        "pos": jnp.asarray(p["pos_embed"], dtype),
+        "fnorm_scale": jnp.asarray(p["norm"]["scale"]),
+        "fnorm_bias": jnp.asarray(p["norm"]["bias"]),
+    }
+    if int8:
+        xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()
+              if not k.endswith("_w")}
+        for name in ("qkv", "out", "fc1", "fc2"):
+            q, s = _quantize_stacked(stacked[name + "_w"])
+            xs[name + "_wq"], xs[name + "_ws"] = q, s
+    else:
+        xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()}
+    return consts, xs
+
+
 def build_scanned_vision_apply(params: dict,
                                cfg: EvaVisionConfig = EvaVisionConfig(),
                                *, int8: bool = False, use_pallas: bool = True,
@@ -108,7 +138,8 @@ def build_scanned_vision_apply(params: dict,
                                fast_gelu: bool = True,
                                xla_fences: bool = True,
                                attn_v2: bool = False,
-                               flat2d: bool = False):
+                               flat2d: bool = False,
+                               staged=None):
     """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
     block stack runs under `lax.scan` (one-block compile time).
 
@@ -116,10 +147,9 @@ def build_scanned_vision_apply(params: dict,
     shape-init), optionally already head-padded (pad_vision_head_params).
     int8: quantize qkv/out/fc1/fc2 projections (weights per-channel at build
     time, activations per-row dynamically).
+    staged: optional (consts, xs) from stage_scanned_params to reuse an
+    existing device upload across kernel configurations.
     """
-    p = params["params"] if "params" in params else params
-    stacked = stack_block_params(params, cfg)
-
     heads = cfg.num_heads
     head_dim = cfg.head_width
     scale = head_dim ** -0.5
@@ -133,25 +163,9 @@ def build_scanned_vision_apply(params: dict,
     # All weights travel as EXPLICIT jit arguments. Closing over them would
     # embed ~2 GB as HLO constants — compilation stalls for 10+ minutes
     # through the axon tunnel (the round-1 int8-path failure mode).
-    consts = {
-        "patch_w": jnp.asarray(p["patch_embed"]["kernel"], dtype),
-        "patch_b": jnp.asarray(p["patch_embed"]["bias"], dtype),
-        "head_w": jnp.asarray(p["head"]["kernel"], dtype),
-        "head_b": jnp.asarray(p["head"]["bias"], dtype),
-        "cls_token": jnp.asarray(p["cls_token"], dtype),
-        "pos": jnp.asarray(p["pos_embed"], dtype),
-        "fnorm_scale": jnp.asarray(p["norm"]["scale"]),
-        "fnorm_bias": jnp.asarray(p["norm"]["bias"]),
-    }
-
-    if int8:
-        xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()
-              if not k.endswith("_w")}
-        for name in ("qkv", "out", "fc1", "fc2"):
-            q, s = _quantize_stacked(stacked[name + "_w"])
-            xs[name + "_wq"], xs[name + "_ws"] = q, s
-    else:
-        xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()}
+    consts, xs = (staged if staged is not None
+                  else stage_scanned_params(params, cfg, int8=int8,
+                                            dtype=dtype))
 
     def attn_core_split(q, k, v):
         out = fused_attention(split_heads(q, heads), split_heads(k, heads),
