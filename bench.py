@@ -99,7 +99,8 @@ def build_host_params(padded_heads: bool = True):
 def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                     scan: bool = True, dtype_name: str = "bfloat16",
                     fused_quant: bool = False, attn_v2: bool = False,
-                    flat2d: bool = False, staged=None):
+                    flat2d: bool = False, staged=None,
+                    interpret: bool = False):
     """-> apply(images) with weights staged on device once (bf16/int8)."""
     import jax
     import jax.numpy as jnp
@@ -112,7 +113,7 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                                           use_pallas=use_pallas, dtype=dtype,
                                           fused_quant=fused_quant,
                                           attn_v2=attn_v2, flat2d=flat2d,
-                                          staged=staged)
+                                          staged=staged, interpret=interpret)
     if int8:
         from hirest_tpu.models.eva_quant import build_int8_vision_apply
 
@@ -270,7 +271,16 @@ def _require_device(timeout_s: float = 600.0):
 
 
 def main():
-    _require_device()
+    # --cpu-smoke: run every ladder config once on CPU (interpret-mode
+    # pallas, tiny batch) to prove the Python/program side of each config
+    # before spending real tunnel time on it. No timing value.
+    smoke = "--cpu-smoke" in sys.argv
+    if smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        _require_device()
     if "--no-cache" not in sys.argv:
         from hirest_tpu.utils.cache import enable_compilation_cache
 
@@ -326,8 +336,11 @@ def main():
     if "--flat2d" in sys.argv:
         ladder = [(i8, fq, v2, True) for (i8, fq, v2, _) in ladder]
 
+    if smoke:
+        batches = [2]
+
     tf_per_frame = eva_useful_tflops_per_frame()
-    peak = chip_peak_bf16()
+    peak = 197e12 if smoke else chip_peak_bf16()
     ceiling = peak / 1e12 / tf_per_frame
 
     t0 = time.perf_counter()
@@ -335,9 +348,21 @@ def main():
     print(f"# host params built in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    # wall budget for the whole ladder: configs run best-known-good first,
+    # so on a slow tunnel we still emit the best-so-far inside the budget
+    budget_s = 1500.0
+    for arg in sys.argv[1:]:
+        if arg.startswith("--budget="):
+            budget_s = float(arg.split("=")[1])
+    ladder_t0 = time.perf_counter()
+
     best, best_cfg = 0.0, {}
     staged_by_prec = {}  # one device upload per precision for all configs
     for int8, fq, v2, flat in ladder:
+        if time.perf_counter() - ladder_t0 > budget_s:
+            print(f"# ladder budget {budget_s:.0f}s exhausted; "
+                  f"skipping remaining configs", file=sys.stderr)
+            break
         tag = (("int8" if int8 else "bf16") + ("+fq" if fq else "")
                + ("+v2" if v2 else "") + ("+flat" if flat else ""))
         try:
@@ -353,13 +378,16 @@ def main():
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
                                     int8=int8, scan=scan, fused_quant=fq,
                                     attn_v2=v2, flat2d=flat,
-                                    staged=staged_by_prec.get(int8))
+                                    staged=staged_by_prec.get(int8),
+                                    interpret=smoke)
         except Exception as e:
             print(f"# build {tag} failed: {e}", file=sys.stderr)
             continue
         for b in batches:
             try:
-                fps = bench_eva_vision(apply, batch_size=b)
+                fps = bench_eva_vision(apply, batch_size=b,
+                                       iters=1 if smoke else 8,
+                                       warmup=0 if smoke else 2)
             except Exception as e:  # Mosaic rejection, OOM etc.
                 print(f"# batch {b} {tag} failed: "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
