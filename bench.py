@@ -319,12 +319,14 @@ def main():
     elif "--bf16" in sys.argv:
         ladder = [(False, False, False, False)]
     else:
+        # measured-good configs FIRST so budget exhaustion can only drop
+        # unproven candidates, never the historical best
         ladder = [
             (False, False, False, False),   # bf16 baseline (measured-good)
+            (True, False, False, False),    # int8 baseline (measured-good)
             (False, False, True, False),    # bf16 + v2 kernel
             (False, False, False, True),    # bf16 flat trunk
             (False, False, True, True),     # bf16 flat + v2
-            (True, False, False, False),    # int8 baseline
             (True, True, True, False),      # int8 + fused quant + v2
             (True, False, True, True),      # int8 flat + v2
             (True, True, True, True),       # int8 flat + fused quant + v2
@@ -335,6 +337,7 @@ def main():
         ladder = [(i8, fq_f and i8, v2_f, fl) for (i8, _, _, fl) in ladder]
     if "--flat2d" in sys.argv:
         ladder = [(i8, fq, v2, True) for (i8, fq, v2, _) in ladder]
+    ladder = list(dict.fromkeys(ladder))  # remaps can alias configs
 
     if smoke:
         batches = [2]

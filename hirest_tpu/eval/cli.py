@@ -39,6 +39,11 @@ def get_eval_parser() -> argparse.ArgumentParser:
     parser.add_argument("--frame_dir", type=str, default="None")
     parser.add_argument("--data_root", type=str, default=DEFAULT_DATA_ROOT,
                         help="root containing splits/ and evaluation/ (TPU extension)")
+    parser.add_argument("--meteor_version", type=str, default="1.5",
+                        choices=["1.5", "2005"],
+                        help="METEOR scoring model; the reference scores "
+                             "captions with the METEOR-1.5 jar, so 1.5 is "
+                             "the parity default (TPU extension)")
     return parser
 
 
@@ -146,10 +151,13 @@ def main(argv=None) -> dict:
     elif args.task == "step_captioning":
         if not args.print_per_category:
             categories = Categories.single()
-        result = evaluate_step_captions(args.gt_data or moment_gt, pred_data,
-                                        categories, clipscore_fn=clipscore_fn,
-                                        bertscore_fn=bertscore_fn,
-                                        entailment_fn=entailment_fn)
+        from hirest_tpu.eval.coco import CocoEvaluator
+        result = evaluate_step_captions(
+            args.gt_data or moment_gt, pred_data, categories,
+            clipscore_fn=clipscore_fn, bertscore_fn=bertscore_fn,
+            entailment_fn=entailment_fn,
+            coco_evaluator=CocoEvaluator(
+                meteor_version=args.meteor_version))
     else:
         result = {"all": {}}
 

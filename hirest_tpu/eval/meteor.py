@@ -29,7 +29,7 @@ run here: JVM plus ~60 MB synonym/paraphrase tables): no WordNet-synonym or
 paraphrase match stages, so scores lower-bound the jar's.
 
 Measured version delta on a 5-sentence caption sample (tests/test_meteor.py
-cases): corpus 2005 = 0.7746 vs corpus 1.5 = 0.3605 — the two
+cases): corpus 2005 = 0.7746 vs corpus 1.5 = 0.3762 — the two
 parameterizations are NOT interchangeable; compare numbers only within one
 mode. The 1.5 sentence formula with delta=0.5 and unit module weights is
 cross-checked to 1e-12 against nltk at alpha=.85/beta=.2/gamma=.6.
@@ -283,8 +283,8 @@ def meteor(candidates: list[list[str]], references: list[list[list[str]]],
 # need WordNet + a 60 MB paraphrase table and are a documented deviation:
 # this implementation runs exact+stem only, so its scores lower-bound the
 # jar's). Differences from the 2005 model implemented above:
-#   * content/function word weighting: a matched or counted function word
-#     contributes delta, a content word (1-delta), to both the match
+#   * content/function word weighting: a matched or counted content word
+#     contributes delta, a function word (1-delta), to both the match
 #     numerators and the length denominators;
 #   * module weights scale each match's contribution;
 #   * corpus score = pooled sufficient statistics (micro-average) over the
@@ -318,9 +318,15 @@ often sometimes again then there here now
 
 
 def _stats_15(hyp, ref, delta, weights):
-    """Sufficient statistics for one segment (MeteorStats)."""
+    """Sufficient statistics for one segment (MeteorStats).
+
+    delta weights CONTENT words; function words carry 1-delta (Meteor
+    Universal eq. for P/R: delta*m(h_c) + (1-delta)*m(h_f) over
+    delta*|h_c| + (1-delta)*|h_f|) — with the English delta=.75 a
+    function-word match recovers less weighted mass than a content match.
+    """
     matches = align_modules(hyp, ref)
-    wf = lambda w: delta if w in FUNCTION_WORDS else 1.0 - delta
+    wf = lambda w: (1.0 - delta) if w in FUNCTION_WORDS else delta
     return {
         "p_num": sum(weights[mod] * wf(hyp[h]) for h, _, mod in matches),
         "r_num": sum(weights[mod] * wf(ref[r]) for _, r, mod in matches),
