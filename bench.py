@@ -237,6 +237,30 @@ def bench_retrieval_qps(n_prompts: int = 64, n_videos: int = 4282,
     return n_prompts * iters / (time.perf_counter() - start)
 
 
+def _wait_for_queue_lock(max_wait_s: float = 1800.0):
+    """If the recovery measurement queue (tools/tpu_measure_queue.sh) is
+    mid-run, wait for it instead of opening a second TPU client: two
+    concurrent clients through the axon tunnel starve each other, so
+    waiting is strictly better than racing. Stale locks (dead pid) are
+    ignored."""
+    import os
+    import time as _time
+
+    if os.environ.get("TPU_QUEUE_OWNER"):  # we ARE the queue's bench step
+        return
+    lock = "/tmp/tpu_queue.lock"
+    t0 = _time.perf_counter()
+    while os.path.exists(lock) and _time.perf_counter() - t0 < max_wait_s:
+        try:
+            pid = int(open(lock).read().strip())
+            os.kill(pid, 0)  # raises if the queue process is gone
+        except (ValueError, ProcessLookupError, OSError):
+            return
+        print(f"# measurement queue (pid {pid}) holds the TPU; waiting",
+              file=sys.stderr)
+        _time.sleep(30)
+
+
 def _require_device(timeout_s: float = 600.0):
     """Fail fast (with a well-formed JSON line) when the TPU tunnel is
     unavailable instead of hanging the driver: device init through a
@@ -280,6 +304,7 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     else:
+        _wait_for_queue_lock()
         _require_device()
     if "--no-cache" not in sys.argv:
         from hirest_tpu.utils.cache import enable_compilation_cache

@@ -201,43 +201,35 @@ def build_scanned_vision_apply(params: dict,
     if flat2d:
         assert packed or interpret, "flat2d needs the pallas flat kernel"
 
-    def block_flat(x, w):
-        qkv_bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
-                                     w["v_bias"]], -1)
+    # The 3D and flat blocks share everything except the attention dispatch;
+    # the two halves below are the single source of fence/quantization
+    # semantics for BOTH trunk layouts (ln_quant/act_quant ignore row_block
+    # on 3D inputs, so it is passed unconditionally).
+
+    def _ln1_qkv(x, w, qkv_bias):
+        """LN1 (fenced) -> qkv projection, optional pre-added [3HD] bias."""
         if fq:
             h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], eps,
                                 interpret=interpret, row_block=n_tokens)
-            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"],
-                           qkv_bias3 if attn_v2 else None, dtype)
-        elif int8:
-            h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
+            return _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias,
+                            dtype)
+        h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
+        if int8:
             h_q, h_s = _dyn_quant_rows(h)
-            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"],
-                           qkv_bias3 if attn_v2 else None, dtype)
-        else:
-            h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
-            qkv = h @ w["qkv_w"]
-            if attn_v2:
-                qkv = qkv + qkv_bias3
-        a_q = a_s = att = None
-        if attn_v2 and fq:
-            a_q, a_s = fused_attention_flat(qkv.astype(dtype), scale, heads,
-                                            n_tokens, interpret=interpret,
-                                            quant_out=True)
-        elif attn_v2:
-            att = fused_attention_flat(qkv.astype(dtype), scale, heads,
-                                       n_tokens, rows_per_cell=2,
-                                       interpret=interpret)
-        else:
-            att = fused_attention_flat(qkv.astype(dtype), scale, heads,
-                                       n_tokens, q_bias=w["q_bias"],
-                                       v_bias=w["v_bias"],
-                                       interpret=interpret)
+            return _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias,
+                            dtype)
+        qkv = h @ w["qkv_w"]
+        return qkv + qkv_bias if qkv_bias is not None else qkv
+
+    def _out_mlp(x, w, att=None, a_qs=None):
+        """out-projection residual + LN2 + MLP residual. Attention arrives
+        either as a dense tensor (att) or already-quantized codes+scales
+        (a_qs, from a kernel quant epilogue)."""
         if fq:
-            if a_q is None:
-                a_q, a_s = act_quant(att.astype(dtype), interpret=interpret,
-                                     row_block=n_tokens)
-            x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
+            if a_qs is None:
+                a_qs = act_quant(att.astype(dtype), interpret=interpret,
+                                 row_block=n_tokens)
+            x = fence(x + _int8_mm(*a_qs, w["out_wq"], w["out_ws"],
                                    w["out_b"], dtype))
             h_q, h_s = ln_quant(x, w["norm2_scale"], w["norm2_bias"], eps,
                                 interpret=interpret, row_block=n_tokens)
@@ -246,82 +238,9 @@ def build_scanned_vision_apply(params: dict,
             h_q, h_s = act_quant(h, act=("gelu_poly" if fast_gelu
                                          else "gelu"),
                                  interpret=interpret, row_block=n_tokens)
-            x = fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
-                                   w["fc2_b"], dtype))
-        elif int8:
-            a_q, a_s = _dyn_quant_rows(att)
-            x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
-                                   w["out_b"], dtype))
-            h = fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps))
-            h_q, h_s = _dyn_quant_rows(h)
-            h = act_fn(_int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"],
-                                w["fc1_b"], dtype))
-            h_q, h_s = _dyn_quant_rows(h)
-            x = fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
-                                   w["fc2_b"], dtype))
-        else:
-            x = fence(x + (att.astype(dtype) @ w["out_w"] + w["out_b"]))
-            h = fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps))
-            h = act_fn(h @ w["fc1_w"] + w["fc1_b"])
-            x = fence(x + (h @ w["fc2_w"] + w["fc2_b"]))
-        return x, None
-
-    def block(x, w):
-        if flat2d:
-            return block_flat(x, w)
-        # attn_v2 pre-folds the q/v biases into the qkv projection's
-        # epilogue (a free broadcast add in the dot fusion), so the lean
-        # kernel receives bias-complete rows
-        v2 = attn_v2 and packed
-        qkv_bias = (jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
-                                     w["v_bias"]], -1) if v2 else None)
-        if fq:
-            h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], eps,
-                                interpret=interpret)
-            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias, dtype)
-        elif int8:
-            h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
-            h_q, h_s = _dyn_quant_rows(h)
-            qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias, dtype)
-        else:
-            h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
-            qkv = h @ w["qkv_w"]
-            if v2:
-                qkv = qkv + qkv_bias
-        if v2 and fq:
-            a_q, a_s = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
-                                            interpret=interpret,
-                                            quant_out=True)
-        elif v2:
-            att = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
-                                       interpret=interpret)
-        elif packed and fq:
-            # attention with the quant epilogue: int8 codes + row scales
-            # come straight out of the kernel (no bf16 HBM round-trip)
-            a_q, a_s = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
-                                           scale, heads, interpret=interpret,
-                                           quant_out=True)
-        elif packed:
-            # fused-qkv kernel: q/k/v thirds and per-head columns sliced
-            # in VMEM, q/v biases added in-kernel — no split copies
-            att = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"], scale,
-                                      heads, interpret=interpret)
-        else:
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            att = attn_core_split(q + w["q_bias"], k, v + w["v_bias"])
-        if fq:
-            if not packed:
-                a_q, a_s = act_quant(att.astype(dtype), interpret=interpret)
-            x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
-                                   w["out_b"], dtype))
-            h_q, h_s = ln_quant(x, w["norm2_scale"], w["norm2_bias"], eps,
-                                interpret=interpret)
-            h = _int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"], dtype)
-            h_q, h_s = act_quant(h, act=("gelu_poly" if fast_gelu else "gelu"),
-                                 interpret=interpret)
-            x = fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
-                                   w["fc2_b"], dtype))
-        elif int8:
+            return fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
+                                      w["fc2_b"], dtype))
+        if int8:
             a_q, a_s = _dyn_quant_rows(att.astype(dtype))
             x = fence(x + _int8_mm(a_q, a_s, w["out_wq"], w["out_ws"],
                                    w["out_b"], dtype))
@@ -330,14 +249,66 @@ def build_scanned_vision_apply(params: dict,
             h = act_fn(_int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"],
                                 w["fc1_b"], dtype))
             h_q, h_s = _dyn_quant_rows(h)
-            x = fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
-                                   w["fc2_b"], dtype))
+            return fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
+                                      w["fc2_b"], dtype))
+        x = fence(x + (att.astype(dtype) @ w["out_w"] + w["out_b"]))
+        h = fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps))
+        h = act_fn(h @ w["fc1_w"] + w["fc1_b"])
+        return fence(x + (h @ w["fc2_w"] + w["fc2_b"]))
+
+    def _bias3(w):
+        return jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
+                                w["v_bias"]], -1)
+
+    def block_flat(x, w):
+        qkv = _ln1_qkv(x, w, _bias3(w) if attn_v2 else None)
+        if attn_v2 and fq:
+            a_qs = fused_attention_flat(qkv.astype(dtype), scale, heads,
+                                        n_tokens, interpret=interpret,
+                                        quant_out=True)
+            return _out_mlp(x, w, a_qs=a_qs), None
+        if attn_v2:
+            att = fused_attention_flat(qkv.astype(dtype), scale, heads,
+                                       n_tokens, rows_per_cell=2,
+                                       interpret=interpret)
         else:
-            x = fence(x + (att.astype(dtype) @ w["out_w"] + w["out_b"]))
-            h = fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps))
-            h = act_fn(h @ w["fc1_w"] + w["fc1_b"])
-            x = fence(x + (h @ w["fc2_w"] + w["fc2_b"]))
-        return x, None
+            att = fused_attention_flat(qkv.astype(dtype), scale, heads,
+                                       n_tokens, q_bias=w["q_bias"],
+                                       v_bias=w["v_bias"],
+                                       interpret=interpret)
+        return _out_mlp(x, w, att=att), None
+
+    def block(x, w):
+        if flat2d:
+            return block_flat(x, w)
+        # attn_v2 pre-folds the q/v biases into the qkv projection's
+        # epilogue (a free broadcast add in the dot fusion), so the lean
+        # kernel receives bias-complete rows
+        v2 = attn_v2 and packed
+        qkv = _ln1_qkv(x, w, _bias3(w) if v2 else None)
+        if v2 and fq:
+            a_qs = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
+                                        interpret=interpret, quant_out=True)
+            return _out_mlp(x, w, a_qs=a_qs), None
+        if v2:
+            att = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
+                                       interpret=interpret)
+        elif packed and fq:
+            # attention with the quant epilogue: int8 codes + row scales
+            # come straight out of the kernel (no bf16 HBM round-trip)
+            a_qs = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
+                                       scale, heads, interpret=interpret,
+                                       quant_out=True)
+            return _out_mlp(x, w, a_qs=a_qs), None
+        elif packed:
+            # fused-qkv kernel: q/k/v thirds and per-head columns sliced
+            # in VMEM, q/v biases added in-kernel — no split copies
+            att = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"], scale,
+                                      heads, interpret=interpret)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            att = attn_core_split(q + w["q_bias"], k, v + w["v_bias"])
+        return _out_mlp(x, w, att=att), None
 
     body = jax.checkpoint(lambda x, w: block(x, w)) if remat else block
 

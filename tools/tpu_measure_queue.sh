@@ -8,6 +8,13 @@ OUT=${1:-/tmp/tpuq}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+# Lock out other TPU clients (bench.py waits on this): two concurrent
+# clients through the axon tunnel starve each other. Removed on ANY exit.
+LOCK=/tmp/tpu_queue.lock
+echo $$ > "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
+export TPU_QUEUE_OWNER=1  # our own bench step must not wait on our lock
+
 run() {
   name=$1; shift
   echo "=== $name: $* (start $(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
@@ -29,4 +36,9 @@ run attn2_bf16 python tools/block_probe.py \
 run int8_pair python tools/block_probe.py --int8 \
   --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu,flat-attn2-fastgelu-fences \
   --iters 2 --hlodir "$OUT/hlo"
+
+# 3. secondary tracked metrics (VERDICT r2 #7): p50 step-caption latency
+#    and retrieval queries/sec, refreshed post-kernel-changes
+run latency python bench.py --latency
+run vr python bench.py --vr
 
