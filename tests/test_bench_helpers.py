@@ -1,0 +1,79 @@
+"""bench.py host-side helpers: param-cache tree roundtrip, the TPU-queue
+lock wait, and the tunnel-down fail-fast JSON (incl. last_measured
+attachment). No device work — these guard the logic that runs before any
+TPU client exists, where a bug costs real tunnel wall-time."""
+
+import io
+import contextlib
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_flatten_unflatten_roundtrip():
+    tree = {"params": {"block_0": {"w": np.zeros((2, 3)),
+                                   "b": np.ones((3,))},
+                       "head": {"kernel": np.full((4,), 7.0)}}}
+    flat = bench._flatten_tree(tree)
+    assert set(flat) == {"params/block_0/w", "params/block_0/b",
+                         "params/head/kernel"}
+    back = bench._unflatten_tree(flat)
+    assert back["params"]["block_0"]["w"].shape == (2, 3)
+    assert back["params"]["head"]["kernel"][0] == 7.0
+
+
+def test_queue_lock_stale_and_owner(monkeypatch, tmp_path):
+    import time
+
+    lock = tmp_path / "tpu_queue.lock"
+    monkeypatch.setattr(bench, "QUEUE_LOCK_PATH", str(lock))
+    monkeypatch.delenv("TPU_QUEUE_OWNER", raising=False)
+
+    def elapsed(**kw):
+        t0 = time.perf_counter()
+        bench._wait_for_queue_lock(**kw)
+        return time.perf_counter() - t0
+
+    # no lock / stale lock (dead pid) / garbage lock: immediate
+    assert elapsed() < 0.5
+    lock.write_text("999999")
+    assert elapsed() < 0.5
+    lock.write_text("not-a-pid")
+    assert elapsed() < 0.5
+    # live-pid lock: waits (bounded here by max_wait_s)
+    lock.write_text(str(os.getpid()))
+    assert elapsed(max_wait_s=0.0) < 0.5
+    # owner env: immediate even with a live-pid lock
+    monkeypatch.setenv("TPU_QUEUE_OWNER", "1")
+    assert elapsed() < 0.5
+
+
+def test_tunnel_down_failfast_attaches_last_measured(monkeypatch, tmp_path):
+    last = tmp_path / "last.json"
+    json.dump({"value": 321.0, "measured_at": "2026-08-17T12:00:00Z"},
+              open(last, "w"))
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH", str(last))
+    monkeypatch.setattr(os, "_exit",
+                        lambda code: (_ for _ in ()).throw(SystemExit(code)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with pytest.raises(SystemExit):
+            bench._require_device(timeout_s=0.0)
+    out = json.loads(buf.getvalue())
+    assert out["value"] == 0.0
+    assert out["metric"] == "eva_clip_frames_per_sec_per_chip"
+    assert out["last_measured"]["value"] == 321.0
+    # without a recorded result the key is absent
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH", str(tmp_path / "nope"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with pytest.raises(SystemExit):
+            bench._require_device(timeout_s=0.0)
+    assert "last_measured" not in json.loads(buf.getvalue())
