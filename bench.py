@@ -156,7 +156,7 @@ def build_host_params(padded_heads: bool = True):
 def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                     scan: bool = True, dtype_name: str = "bfloat16",
                     fused_quant: bool = False, attn_v2: bool = False,
-                    flat2d: bool = False, staged=None,
+                    flat2d: bool = False, fused_ln: bool = False, staged=None,
                     interpret: bool = False):
     """-> apply(images) with weights staged on device once (bf16/int8)."""
     import jax
@@ -170,6 +170,7 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                                           use_pallas=use_pallas, dtype=dtype,
                                           fused_quant=fused_quant,
                                           attn_v2=attn_v2, flat2d=flat2d,
+                                          fused_ln=fused_ln,
                                           staged=staged, interpret=interpret)
     if int8:
         from hirest_tpu.models.eva_quant import build_int8_vision_apply
@@ -402,33 +403,38 @@ def main():
         if arg.startswith("--batch="):
             batches = [int(x) for x in arg.split("=")[1].split(",")]
 
-    # Config ladder: (int8, fused_quant, attn_v2, flat2d). The measured-good
-    # baselines run alongside the newer kernel paths; any config that fails
+    # Config ladder: (int8, fused_quant, attn_v2, flat2d, fused_ln). The
+    # measured-good baselines run alongside the newer kernel paths; any
+    # config that fails
     # to build/compile on the chip is skipped and the best survivor wins,
     # so an unproven kernel can only improve the reported number.
     if "--int8" in sys.argv:
-        ladder = [(True, False, False, False)]
+        ladder = [(True, False, False, False, False)]
     elif "--bf16" in sys.argv:
-        ladder = [(False, False, False, False)]
+        ladder = [(False, False, False, False, False)]
     else:
         # measured-good configs FIRST so budget exhaustion can only drop
         # unproven candidates, never the historical best
         ladder = [
-            (False, False, False, False),   # bf16 baseline (measured-good)
-            (True, False, False, False),    # int8 baseline (measured-good)
-            (False, False, True, False),    # bf16 + v2 kernel
-            (False, False, False, True),    # bf16 flat trunk
-            (False, False, True, True),     # bf16 flat + v2
-            (True, True, True, False),      # int8 + fused quant + v2
-            (True, False, True, True),      # int8 flat + v2
-            (True, True, True, True),       # int8 flat + fused quant + v2
+            (False, False, False, False, False),  # bf16 baseline (measured-good)
+            (True, False, False, False, False),   # int8 baseline (measured-good)
+            (False, False, True, False, False),   # bf16 + v2 kernel
+            (False, False, False, True, False),   # bf16 flat trunk
+            (False, False, True, True, False),    # bf16 flat + v2
+            (True, True, True, False, False),     # int8 + fused quant + v2
+            (True, False, True, True, False),     # int8 flat + v2
+            (True, True, True, True, False),      # int8 flat + fused quant + v2
+            (False, False, True, True, True),     # bf16 flat + v2 + pallas LN
         ]
     if "--fused-quant" in sys.argv or "--attn-v2" in sys.argv:
         fq_f = "--fused-quant" in sys.argv
         v2_f = "--attn-v2" in sys.argv
-        ladder = [(i8, fq_f and i8, v2_f, fl) for (i8, _, _, fl) in ladder]
+        ladder = [(i8, fq_f and i8, v2_f, fl, ln)
+                  for (i8, _, _, fl, ln) in ladder]
     if "--flat2d" in sys.argv:
-        ladder = [(i8, fq, v2, True) for (i8, fq, v2, _) in ladder]
+        ladder = [(i8, fq, v2, True, ln) for (i8, fq, v2, _, ln) in ladder]
+    if "--fused-ln" in sys.argv:
+        ladder = [(i8, fq, v2, fl, not i8) for (i8, fq, v2, fl, _) in ladder]
     ladder = list(dict.fromkeys(ladder))  # remaps can alias configs
 
     if smoke:
@@ -453,13 +459,14 @@ def main():
 
     best, best_cfg = 0.0, {}
     staged_by_prec = {}  # one device upload per precision for all configs
-    for int8, fq, v2, flat in ladder:
+    for int8, fq, v2, flat, fln in ladder:
         if time.perf_counter() - ladder_t0 > budget_s:
             print(f"# ladder budget {budget_s:.0f}s exhausted; "
                   f"skipping remaining configs", file=sys.stderr)
             break
         tag = (("int8" if int8 else "bf16") + ("+fq" if fq else "")
-               + ("+v2" if v2 else "") + ("+flat" if flat else ""))
+               + ("+v2" if v2 else "") + ("+flat" if flat else "")
+               + ("+lnk" if fln else "") + ("+pad" if padded else ""))
         try:
             if scan and int8 not in staged_by_prec:
                 from hirest_tpu.models.eva_scan import stage_scanned_params
@@ -472,7 +479,7 @@ def main():
                       f"{time.perf_counter() - t1:.1f}s", file=sys.stderr)
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
                                     int8=int8, scan=scan, fused_quant=fq,
-                                    attn_v2=v2, flat2d=flat,
+                                    attn_v2=v2, flat2d=flat, fused_ln=fln,
                                     staged=staged_by_prec.get(int8),
                                     interpret=smoke)
         except Exception as e:

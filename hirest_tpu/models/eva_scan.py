@@ -139,6 +139,7 @@ def build_scanned_vision_apply(params: dict,
                                xla_fences: bool = True,
                                attn_v2: bool = False,
                                flat2d: bool = False,
+                               fused_ln: bool = False,
                                staged=None):
     """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
     block stack runs under `lax.scan` (one-block compile time).
@@ -178,6 +179,17 @@ def build_scanned_vision_apply(params: dict,
     fq = fused_quant and int8
     if fq:
         from hirest_tpu.ops.quant import act_quant, ln_quant
+    # fused_ln: bf16-path LayerNorms run as one-read-one-write Pallas
+    # kernels (ops/quant.ln_bf16) instead of XLA's reduce+normalize fusion
+    # (two reads of the activation). The pallas call is itself a fusion
+    # boundary, so it subsumes the LN-output fence at those sites.
+    fln = fused_ln and not int8 and (use_pallas or interpret)
+    if fln:
+        from hirest_tpu.ops.quant import ln_bf16
+
+        def _ln_b(x, s_, b_):
+            return ln_bf16(x, s_, b_, eps, interpret=interpret,
+                           row_block=n_tokens if x.ndim == 2 else None)
 
     # fast_gelu: bf16-accurate short erf polynomial (see gelu_bf16_poly) —
     # the exact-erf epilogue XLA emits costs ~60 ms/call on the full trunk.
@@ -213,7 +225,8 @@ def build_scanned_vision_apply(params: dict,
                                 interpret=interpret, row_block=n_tokens)
             return _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias,
                             dtype)
-        h = fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps))
+        h = (_ln_b(x, w["norm1_scale"], w["norm1_bias"]) if fln
+             else fence(_ln(x, w["norm1_scale"], w["norm1_bias"], eps)))
         if int8:
             h_q, h_s = _dyn_quant_rows(h)
             return _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], qkv_bias,
@@ -252,7 +265,8 @@ def build_scanned_vision_apply(params: dict,
             return fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
                                       w["fc2_b"], dtype))
         x = fence(x + (att.astype(dtype) @ w["out_w"] + w["out_b"]))
-        h = fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps))
+        h = (_ln_b(x, w["norm2_scale"], w["norm2_bias"]) if fln
+             else fence(_ln(x, w["norm2_scale"], w["norm2_bias"], eps)))
         h = act_fn(h @ w["fc1_w"] + w["fc1_b"])
         return fence(x + (h @ w["fc2_w"] + w["fc2_b"]))
 

@@ -121,11 +121,15 @@ def _row_specs_flat(m: int, c: int, row_block: int | None):
     32-multiple block with a ragged cdiv tail is used."""
     budget = 10 * 1024 * 1024
     per_row = c * (4 + 2 * 2 + 2 * 1) + 8
-    if row_block and m % row_block == 0:
+    if (row_block and m % row_block == 0
+            and row_block * per_row <= budget):
         br = row_block * max(1, budget // per_row // row_block)
         while m % br:
             br -= row_block
     else:
+        # row_block absent, non-dividing, or itself over the VMEM budget
+        # (e.g. 257 rows x 6144 cols at the post-fc1 act_quant site):
+        # independent rows make a ragged 32-multiple tail correct
         br = _pick_row_block(m, c)
     vmem = pltpu.VMEM if pltpu else None
     x_spec = pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=vmem)
@@ -223,6 +227,51 @@ def act_quant(x, *, act: str = "none", interpret: bool = False,
                    jax.ShapeDtypeStruct((bsz, seq, 1), jnp.float32)],
         interpret=interpret,
     )(x)
+
+
+# --- fused bf16 LayerNorm (no quantization) ------------------------------
+#
+# The bf16 trunk's fenced LayerNorms are XLA fusions that read the
+# activation twice (reduce pass + normalize pass) and write once. This
+# kernel is the one-read-one-write version for the flat [M, C] layout:
+# worth ~1/3 of the LN bandwidth per site (2 sites x 40 layers). Like the
+# quant kernels it also acts as a fusion boundary, so callers drop the
+# explicit optimization_barrier at sites where it runs.
+
+
+def _ln_kernel_flat(x_ref, g_ref, b_ref, y_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    var = (xc * xc).mean(-1, keepdims=True)
+    y = (xc * jax.lax.rsqrt(var + eps) * g_ref[...][None, :]
+         + b_ref[...][None, :])
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def ln_bf16(x, g, b, eps: float, *, interpret: bool = False,
+            row_block: int | None = None):
+    """LayerNorm over flat [M, C] rows in one VMEM pass, output in x.dtype.
+
+    Matches eva_scan._ln numerics exactly (f32 mean/var/rsqrt, cast at the
+    end). row_block as in ln_quant. 3D inputs are handled by a reshape
+    round-trip (bitcast at the jit level)."""
+    if x.ndim == 3:
+        bsz, seq, c = x.shape
+        return ln_bf16(x.reshape(bsz * seq, c), g, b, eps,
+                       interpret=interpret,
+                       row_block=row_block or seq).reshape(x.shape)
+    m, c = x.shape
+    grid, x_spec, _, vmem = _row_specs_flat(m, c, row_block)
+    g_spec = pl.BlockSpec((c,), lambda i: (0,), memory_space=vmem)
+    return pl.pallas_call(
+        functools.partial(_ln_kernel_flat, eps=eps),
+        grid=grid,
+        in_specs=[x_spec, g_spec, g_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        interpret=interpret,
+    )(x, g.astype(jnp.float32), b.astype(jnp.float32))
 
 
 class QuantDense:

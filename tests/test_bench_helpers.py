@@ -62,6 +62,13 @@ def test_tunnel_down_failfast_attaches_last_measured(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "LAST_RESULT_PATH", str(last))
     monkeypatch.setattr(os, "_exit",
                         lambda code: (_ for _ in ()).throw(SystemExit(code)))
+    # Simulate a wedged tunnel deterministically: with jax already imported
+    # and on CPU (conftest), the real jax.devices() can win the
+    # t.join(timeout_s=0) race and the probe would "succeed".
+    import time as _time
+
+    import jax as _jax
+    monkeypatch.setattr(_jax, "devices", lambda *a: _time.sleep(30))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         with pytest.raises(SystemExit):

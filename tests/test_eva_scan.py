@@ -105,6 +105,26 @@ def test_scanned_flat2d_matches_3d():
                                    err_msg=f"fq attn_v2={attn_v2}")
 
 
+def test_scanned_fused_ln_matches():
+    """fused_ln (pallas one-pass bf16 LayerNorm at both block LN sites)
+    must match the XLA-LN path exactly, in 3D and flat2d trunks."""
+    cfg = EvaVisionConfig(image_size=28, layers=3, width=128, head_width=32,
+                          mlp_ratio=4.0, patch_size=14, embed_dim=32)
+    tower = EvaVisionTower(cfg, dtype=jnp.float32)
+    imgs = jnp.asarray(
+        np.random.default_rng(13).normal(size=(4, 28, 28, 3)), jnp.float32)
+    params = shape_only_init(tower, imgs[:1])
+    kw = dict(use_pallas=True, interpret=True, dtype=jnp.float32,
+              fast_gelu=False)
+    ref = np.asarray(build_scanned_vision_apply(params, cfg, **kw)(imgs))
+    assert not np.allclose(ref, 0)
+    for flat in (False, True):
+        out = np.asarray(build_scanned_vision_apply(
+            params, cfg, fused_ln=True, flat2d=flat, **kw)(imgs))
+        np.testing.assert_allclose(ref, out, rtol=2e-6, atol=2e-6,
+                                   err_msg=f"flat2d={flat}")
+
+
 def test_scanned_attn_v2_matches_v1():
     """attn_v2 (lean fused-qkv kernel, biases pre-folded into the qkv
     projection epilogue) must match the v1 kernel path numerically. Needs

@@ -45,6 +45,27 @@ def test_ln_quant_matches_unfused(shape):
     assert match > 0.99, match
 
 
+@pytest.mark.parametrize("shape", [(66, 256), (2, 33, 384)])
+def test_ln_bf16_matches_ln(shape):
+    """ln_bf16 (one-pass bf16 LayerNorm kernel) must match eva_scan._ln:
+    same f32 mean/var/rsqrt math, same final cast (reduction order may
+    differ between the XLA fusion and the interpret-mode kernel, so exact
+    bit equality is not asserted)."""
+    from hirest_tpu.ops.quant import ln_bf16
+
+    rng = np.random.default_rng(7)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(size=shape) * 2.0, dtype)
+        g = jnp.asarray(rng.normal(size=shape[-1]).astype(np.float32) + 1.0)
+        b = jnp.asarray(rng.normal(size=shape[-1]).astype(np.float32) * 0.1)
+        ref = np.asarray(_ln(x, g, b, EPS), dtype=np.float32)
+        got = ln_bf16(x, g, b, EPS, interpret=True,
+                      row_block=33 if len(shape) == 2 else None)
+        assert got.dtype == x.dtype
+        np.testing.assert_allclose(np.asarray(got, dtype=np.float32), ref,
+                                   rtol=2e-6, atol=2e-6)
+
+
 def test_act_quant_gelu_matches_unfused():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(2, 9, 256)) * 3.0, jnp.bfloat16)

@@ -153,14 +153,23 @@ def build(variant: str, int8: bool, batch: int):
             x = jax.lax.optimization_barrier(x)
         return x, None
 
+    lnk = "lnk" in variant  # bf16 pallas LayerNorm (ops/quant.ln_bf16)
+
+    def ln_site(x, scale_, bias_):
+        """One LN site: pallas one-pass kernel ('lnk') or XLA LN, fenced."""
+        if lnk and not int8:
+            from hirest_tpu.ops.quant import ln_bf16
+            return ln_bf16(x, scale_, bias_, EPS,
+                           row_block=S if x.ndim == 2 else None)
+        h = _ln(x, scale_, bias_, EPS)
+        return jax.lax.optimization_barrier(h) if fences else h
+
     def block_flat(x, w):
         """Flat [B*S, C] trunk (2D dots, no 3D layout negotiation); composes
-        with 'attn2' (pre-added biases + exp2 kernel) and int8."""
+        with 'attn2' (pre-added biases + exp2 kernel), 'lnk' and int8."""
         from hirest_tpu.ops.attention import fused_attention_flat
 
-        h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
-        if fences:
-            h = jax.lax.optimization_barrier(h)
+        h = ln_site(x, w["norm1_scale"], w["norm1_bias"])
         if "attn2" in variant:
             bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
                                      w["v_bias"]], -1)
@@ -179,9 +188,7 @@ def build(variant: str, int8: bool, batch: int):
         x = x + mm(att.astype(dtype), w, "out")
         if fences:
             x = jax.lax.optimization_barrier(x)
-        h = _ln(x, w["norm2_scale"], w["norm2_bias"], EPS)
-        if fences:
-            h = jax.lax.optimization_barrier(h)
+        h = ln_site(x, w["norm2_scale"], w["norm2_bias"])
         h = act(mm(h, w, "fc1"))
         x = x + mm(h, w, "fc2")
         if fences:

@@ -27,15 +27,21 @@ run() {
 # 0. production bench FIRST (the headline number; probes after)
 run bench_ladder python bench.py --batch=128 --no-cache
 
-# 1. v2 attention kernel + flat trunk, bf16 (device-ms via trace)
+# 1. v2 attention kernel + flat trunk, bf16 (device-ms via trace);
+#    lnk = one-pass pallas LayerNorm at both LN sites (ops/quant.ln_bf16)
 run attn2_bf16 python tools/block_probe.py \
-  --variants attn2-fastgelu-fences,flat-fastgelu-fences,flat-attn2-fastgelu-fences \
+  --variants attn2-fastgelu-fences,flat-fastgelu-fences,flat-attn2-fastgelu-fences,flat-attn2-lnk-fastgelu-fences \
   --iters 2 --hlodir "$OUT/hlo"
 
 # 2. int8: current dyn-quant vs fused-quant kernels (+ v2 attention, flat)
 run int8_pair python tools/block_probe.py --int8 \
   --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu,flat-attn2-fastgelu-fences \
   --iters 2 --hlodir "$OUT/hlo"
+
+# 2b. padded heads (88 -> 128): +45% attention FLOPs but fully MXU-aligned
+#     per-head dots in the flat kernel — one config, settles the tradeoff
+run padded_flat python bench.py --padded-heads --bf16 --flat2d --attn-v2 \
+  --batch=128 --budget=300 --no-cache
 
 # 3. secondary tracked metrics (VERDICT r2 #7): p50 step-caption latency
 #    and retrieval queries/sec, refreshed post-kernel-changes
