@@ -70,10 +70,17 @@ class ClipTextTower(nn.Module):
 
 
 class ClipVisionTower(nn.Module):
-    """ViT-B/32 image encoder: [B, 224, 224, 3] -> [B, 512]."""
+    """ViT-B/32 image encoder: [B, 224, 224, 3] -> [B, 512].
+
+    pool=True is the standard OpenAI CLIP head (ln_post on the cls token,
+    then project) — the main-path behavior (`clip.load("ViT-B/32")`,
+    inference_video_retrieval.py:169). pool=False is the vendored
+    EVA-modified variant (EVA_clip/model.py:252-272): drop the cls token,
+    ln_post + project ALL patch tokens -> [B, grid^2, embed_dim]."""
 
     config: ClipVisionConfig = ClipVisionConfig()
     dtype: jnp.dtype = jnp.float32
+    pool: bool = True
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -104,10 +111,66 @@ class ClipVisionTower(nn.Module):
                           act="quick_gelu", dtype=self.dtype,
                           name=f"block_{i}")(x, None)
 
-        x = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_post", dtype=self.dtype)(x[:, 0])
+        x = x[:, 0] if self.pool else x[:, 1:]
+        x = nn.LayerNorm(epsilon=cfg.norm_eps, name="ln_post", dtype=self.dtype)(x)
         proj = self.param("proj", nn.initializers.normal(cfg.width ** -0.5),
                           (cfg.width, cfg.embed_dim))
         return (x @ proj.astype(self.dtype)).astype(jnp.float32)
+
+
+def build_clip_from_state_dict(sd):
+    """Shape-sniffing factory mirroring the reference `build_model`
+    (EVA_clip/model.py:433-471): infers the variant (VisionTransformer vs
+    ModifiedResNet, text dims) from the checkpoint's shapes and returns
+    `(vision_tower, vision_params, text_tower, text_params, logit_scale)`
+    ready to `.apply`. Accepts torch tensors or numpy arrays."""
+    import numpy as np
+
+    shape = lambda k: tuple(sd[k].shape)  # noqa: E731
+    if "visual.proj" in sd:  # ViT variant
+        width = shape("visual.conv1.weight")[0]
+        patch = shape("visual.conv1.weight")[-1]
+        grid = round((shape("visual.positional_embedding")[0] - 1) ** 0.5)
+        layers = len([k for k in sd if k.startswith("visual.")
+                      and k.endswith(".attn.in_proj_weight")])
+        vcfg = ClipVisionConfig(image_size=patch * grid, layers=layers,
+                                width=width, heads=width // 64,
+                                patch_size=patch,
+                                embed_dim=shape("visual.proj")[1])
+        # the vendored surface's ViT is the EVA-modified all-tokens variant
+        vision_tower = ClipVisionTower(vcfg, pool=False)
+        vision_params = convert_clip_vision(sd, vcfg)
+    else:  # ModifiedResNet variant
+        from hirest_tpu.models.clip_resnet import (ClipResNetConfig,
+                                                   ClipResNetTower,
+                                                   convert_clip_resnet)
+
+        counts = tuple(
+            len({k.split(".")[2] for k in sd
+                 if k.startswith(f"visual.layer{b}")}) for b in (1, 2, 3, 4))
+        width = shape("visual.layer1.0.conv1.weight")[0]
+        out_grid = round(
+            (shape("visual.attnpool.positional_embedding")[0] - 1) ** 0.5)
+        rcfg = ClipResNetConfig(
+            layers=counts, output_dim=shape("visual.attnpool.c_proj.weight")[0],
+            heads=width * 32 // 64, image_size=out_grid * 32, width=width)
+        vision_tower = ClipResNetTower(rcfg)
+        vision_params = convert_clip_resnet(sd, rcfg)
+
+    tcfg = EvaTextConfig(
+        context_length=shape("positional_embedding")[0],
+        vocab_size=shape("token_embedding.weight")[0],
+        width=shape("ln_final.weight")[0],
+        heads=shape("ln_final.weight")[0] // 64,
+        layers=len({k.split(".")[2] for k in sd
+                    if k.startswith("transformer.resblocks")}),
+        embed_dim=shape("text_projection")[1])
+    text_tower = ClipTextTower(tcfg)
+    text_params = convert_clip_text(sd, tcfg)
+    ls = sd["logit_scale"]
+    logit_scale = float(np.exp(np.asarray(
+        ls.detach().cpu().numpy() if hasattr(ls, "detach") else ls)))
+    return vision_tower, vision_params, text_tower, text_params, logit_scale
 
 
 # ---------------------------------------------------------------------------
