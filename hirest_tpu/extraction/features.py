@@ -86,7 +86,7 @@ def extract_video_features(
 def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
                      dtype_name: str = "bfloat16", use_pallas: bool = True,
                      padded_heads: bool = False, scan: bool = True,
-                     int8: bool = False):
+                     int8: bool = False, uint8_frontend: bool = False):
     """Build (encode_image_fn, preprocess_fn) around the jitted EVA vision
     tower, loading converted weights when available.
 
@@ -95,12 +95,17 @@ def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
     the fused-qkv Pallas attention kernel at the NATIVE head width 88 —
     the 88->128 padding transform costs +15% FLOPs and is now opt-in.
     `int8=True` selects the quantized throughput mode (weights per-channel,
-    activations per-row dynamic)."""
+    activations per-row dynamic).
+    `uint8_frontend=True` (scan path) ships RAW uint8 frames to the device
+    and runs pixel normalization inside the patch-embed matmul
+    (eva_scan.fold_uint8_frontend): 4x less host->device image traffic and
+    no host float math — worthwhile whenever frames stream per batch."""
     import jax
     import jax.numpy as jnp
 
     from hirest_tpu.config import EvaVisionConfig
-    from hirest_tpu.models.eva_clip import EvaVisionTower, preprocess_image
+    from hirest_tpu.models.eva_clip import (EvaVisionTower, preprocess_image,
+                                            preprocess_image_u8)
     from hirest_tpu.utils.init import shape_only_init
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -124,7 +129,12 @@ def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
         from hirest_tpu.models.eva_scan import build_scanned_vision_apply
 
         apply = build_scanned_vision_apply(params, cfg, int8=int8,
-                                           use_pallas=use_pallas, dtype=dtype)
+                                           use_pallas=use_pallas, dtype=dtype,
+                                           uint8_input=uint8_frontend)
+        if uint8_frontend:
+            # raw bytes cross the host->device boundary; the cast to the
+            # compute dtype happens on-device inside the jitted forward
+            return (lambda im: apply(jnp.asarray(im))), preprocess_image_u8
         return (lambda im: apply(jnp.asarray(im, dtype))), preprocess_image
 
     tower = EvaVisionTower(cfg, dtype=dtype, use_pallas=use_pallas)
@@ -146,9 +156,13 @@ if __name__ == "__main__":
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="quantized throughput mode for the frozen tower")
+    p.add_argument("--uint8_frontend", action="store_true",
+                   help="ship raw uint8 frames; normalization folded into "
+                        "the patch embed (4x less host->device traffic)")
     a = p.parse_args()
     enc, pre = make_eva_encoder(a.pretrained_dir,
-                                use_pallas=not a.no_pallas, int8=a.int8)
+                                use_pallas=not a.no_pallas, int8=a.int8,
+                                uint8_frontend=a.uint8_frontend)
     n = extract_video_features(a.frame_dir, a.out_dir, enc, pre, a.batch_size,
                                process_id=a.process_id,
                                num_processes=a.num_processes)

@@ -158,8 +158,7 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
 
 
-def preprocess_image(img, image_size: int = 224) -> np.ndarray:
-    """PIL image / HxWx3 uint8 array -> [image_size, image_size, 3] float32 (NHWC)."""
+def _resize_center_crop(img, image_size: int):
     from PIL import Image
 
     if not isinstance(img, Image.Image):
@@ -171,9 +170,23 @@ def preprocess_image(img, image_size: int = 224) -> np.ndarray:
     w, h = img.size
     left = (w - image_size) // 2
     top = (h - image_size) // 2
-    img = img.crop((left, top, left + image_size, top + image_size))
-    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return img.crop((left, top, left + image_size, top + image_size))
+
+
+def preprocess_image(img, image_size: int = 224) -> np.ndarray:
+    """PIL image / HxWx3 uint8 array -> [image_size, image_size, 3] float32 (NHWC)."""
+    arr = np.asarray(_resize_center_crop(img, image_size),
+                     dtype=np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
+
+
+def preprocess_image_u8(img, image_size: int = 224) -> np.ndarray:
+    """Resize + center-crop ONLY -> [image_size, image_size, 3] uint8.
+
+    For forwards built with uint8_input=True (eva_scan.fold_uint8_frontend):
+    normalization runs inside the patch-embed matmul, so the host ships raw
+    bytes — 4x less host->device transfer than the f32 pipeline."""
+    return np.asarray(_resize_center_crop(img, image_size), dtype=np.uint8)
 
 
 def build_eva_model_and_transforms(model_name: str = "EVA_CLIP_g_14",

@@ -100,18 +100,44 @@ def _int8_mm(x_q, x_s, w_q, w_s, bias, out_dtype):
     return out.astype(out_dtype)
 
 
+def fold_uint8_frontend(patch_w: np.ndarray, patch_b: np.ndarray):
+    """Fold CLIP pixel normalization ((x/255 - mean) / std, a per-channel
+    affine) into the patch-embed projection, so the forward consumes RAW
+    uint8 frames: x_norm @ W + b == u8 @ (W * a[:, None]) + (bvec @ W + b)
+    with a_c = 1/(255*std_c), bvec_c = -mean_c/std_c. Exact in f32.
+
+    Replaces the reference's host-side torchvision Normalize
+    (EVA_clip/eva_clip.py transform) with zero device work and a 4x
+    smaller host->device image transfer (uint8 vs f32)."""
+    from hirest_tpu.models.eva_clip import CLIP_MEAN, CLIP_STD
+
+    w = np.asarray(patch_w, np.float32)  # [p*p*3, width], channel-minor rows
+    b = np.asarray(patch_b, np.float32)
+    reps = w.shape[0] // 3
+    a = np.tile(1.0 / (255.0 * CLIP_STD), reps)
+    bvec = np.tile(-CLIP_MEAN / CLIP_STD, reps)
+    return w * a[:, None], b + bvec @ w
+
+
 def stage_scanned_params(params: dict, cfg: EvaVisionConfig,
-                         *, int8: bool = False, dtype=jnp.bfloat16):
+                         *, int8: bool = False, dtype=jnp.bfloat16,
+                         uint8_input: bool = False):
     """Upload the scanned-forward parameter set to the device once:
     -> (consts, xs) device trees. The same staged pair serves EVERY kernel
     configuration of the same precision (v2/flat/fused-quant differ only in
     program, not weights) — important through the ~48 MB/s axon tunnel,
-    where re-staging ~2 GB per bench config would dominate wall time."""
+    where re-staging ~2 GB per bench config would dominate wall time.
+
+    uint8_input folds pixel normalization into the patch embed
+    (fold_uint8_frontend): the returned consts expect raw 0..255 frames."""
     p = params["params"] if "params" in params else params
     stacked = stack_block_params(params, cfg)
+    patch_w, patch_b = p["patch_embed"]["kernel"], p["patch_embed"]["bias"]
+    if uint8_input:
+        patch_w, patch_b = fold_uint8_frontend(patch_w, patch_b)
     consts = {
-        "patch_w": jnp.asarray(p["patch_embed"]["kernel"], dtype),
-        "patch_b": jnp.asarray(p["patch_embed"]["bias"], dtype),
+        "patch_w": jnp.asarray(patch_w, dtype),
+        "patch_b": jnp.asarray(patch_b, dtype),
         "head_w": jnp.asarray(p["head"]["kernel"], dtype),
         "head_b": jnp.asarray(p["head"]["bias"], dtype),
         "cls_token": jnp.asarray(p["cls_token"], dtype),
@@ -140,6 +166,7 @@ def build_scanned_vision_apply(params: dict,
                                attn_v2: bool = False,
                                flat2d: bool = False,
                                fused_ln: bool = False,
+                               uint8_input: bool = False,
                                staged=None):
     """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
     block stack runs under `lax.scan` (one-block compile time).
@@ -149,7 +176,10 @@ def build_scanned_vision_apply(params: dict,
     int8: quantize qkv/out/fc1/fc2 projections (weights per-channel at build
     time, activations per-row dynamically).
     staged: optional (consts, xs) from stage_scanned_params to reuse an
-    existing device upload across kernel configurations.
+    existing device upload across kernel configurations (must have been
+    staged with the same uint8_input).
+    uint8_input: apply() takes RAW uint8 0..255 frames; pixel normalization
+    is folded into the patch embed (fold_uint8_frontend).
     """
     heads = cfg.num_heads
     head_dim = cfg.head_width
@@ -166,7 +196,8 @@ def build_scanned_vision_apply(params: dict,
     # through the axon tunnel (the round-1 int8-path failure mode).
     consts, xs = (staged if staged is not None
                   else stage_scanned_params(params, cfg, int8=int8,
-                                            dtype=dtype))
+                                            dtype=dtype,
+                                            uint8_input=uint8_input))
 
     def attn_core_split(q, k, v):
         out = fused_attention(split_heads(q, heads), split_heads(k, heads),

@@ -142,3 +142,45 @@ def test_scanned_attn_v2_matches_v1():
                                               **kw)(imgs))
     assert not np.allclose(a, 0)
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_uint8_frontend_matches_normalized(tiny_setup):
+    """Folding (x/255 - mean)/std into the patch embed: raw uint8 frames
+    through a uint8_input forward == normalized f32 frames through the
+    standard forward (f32, no pallas) to float tolerance."""
+    from hirest_tpu.models.eva_clip import CLIP_MEAN, CLIP_STD
+
+    params, _, _ = tiny_setup
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, size=(3, 28, 28, 3), dtype=np.uint8)
+    normalized = ((u8.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD
+
+    apply_norm = build_scanned_vision_apply(params, TINY, use_pallas=False,
+                                            dtype=jnp.float32)
+    apply_u8 = build_scanned_vision_apply(params, TINY, use_pallas=False,
+                                          dtype=jnp.float32,
+                                          uint8_input=True)
+    want = np.asarray(apply_norm(jnp.asarray(normalized)))
+    got = np.asarray(apply_u8(jnp.asarray(u8)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_uint8_frontend_encoder_wiring(tmp_path, monkeypatch):
+    """make_eva_encoder(uint8_frontend=True) returns the u8 preprocess and
+    an apply that consumes its output end-to-end (tiny config — the
+    function resolves EvaVisionConfig at call time)."""
+    import hirest_tpu.config as config_mod
+    from hirest_tpu.extraction.features import make_eva_encoder
+
+    tiny224 = EvaVisionConfig(image_size=224, layers=2, width=64,
+                              head_width=16, mlp_ratio=4.0, patch_size=56,
+                              embed_dim=32)
+    monkeypatch.setattr(config_mod, "EvaVisionConfig", lambda: tiny224)
+    enc, pre = make_eva_encoder(str(tmp_path), dtype_name="float32",
+                                use_pallas=False, uint8_frontend=True)
+    img = np.random.default_rng(0).integers(
+        0, 256, size=(300, 400, 3), dtype=np.uint8)
+    x = pre(img)
+    assert x.dtype == np.uint8 and x.shape == (224, 224, 3)
+    out = np.asarray(enc(x[None]))
+    assert out.shape == (1, tiny224.embed_dim) and np.all(np.isfinite(out))
