@@ -82,26 +82,18 @@ def eva_useful_tflops_per_frame() -> float:
     return (cfg.layers * per_layer + patch + head) / 1e12
 
 
-def _flatten_tree(tree, prefix=""):
-    out = {}
-    for k, v in tree.items():
-        key = f"{prefix}/{k}" if prefix else str(k)
-        if isinstance(v, dict):
-            out.update(_flatten_tree(v, key))
-        else:
-            out[key] = np.asarray(v)
-    return out
+def _flatten_tree(tree):
+    """'/'-joined leaf mapping (flax.traverse_util, values as numpy)."""
+    from flax.traverse_util import flatten_dict
+
+    return {k: np.asarray(v)
+            for k, v in flatten_dict(tree, sep="/").items()}
 
 
 def _unflatten_tree(flat):
-    tree = {}
-    for key, v in flat.items():
-        node = tree
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return tree
+    from flax.traverse_util import unflatten_dict
+
+    return unflatten_dict(flat, sep="/")
 
 
 def build_host_params(padded_heads: bool = True):
@@ -139,10 +131,17 @@ def build_host_params(padded_heads: bool = True):
             tower, jnp.zeros((1, cfg.image_size, cfg.image_size, 3),
                              jnp.float32))
         try:
-            tmp = cache + ".tmp"
-            os.makedirs(tmp, exist_ok=True)
+            import shutil
+            import tempfile
+
+            # fresh tmp dir (a fixed name could hold leaves from an
+            # interrupted earlier write); rename(2) cannot replace a
+            # non-empty dir, so clear a stale cache first
+            tmp = tempfile.mkdtemp(prefix=cache + ".tmp.",
+                                   dir=os.path.dirname(cache))
             for k, v in _flatten_tree(params).items():
                 np.save(os.path.join(tmp, k.replace("/", "~") + ".npy"), v)
+            shutil.rmtree(cache, ignore_errors=True)
             os.rename(tmp, cache)
         except Exception as e:
             print(f"# host-param cache write failed: {e}", file=sys.stderr)
@@ -295,12 +294,45 @@ def bench_retrieval_qps(n_prompts: int = 64, n_videos: int = 4282,
     return n_prompts * iters / (time.perf_counter() - start)
 
 
-def _wait_for_queue_lock(max_wait_s: float = 1800.0):
+def _active_metric_name() -> str:
+    """The metric this invocation would report — keeps fail-fast JSON
+    consistent with the requested mode (--latency / --vr / ladder)."""
+    if "--latency" in sys.argv:
+        return "step_caption_p50_latency"
+    if "--vr" in sys.argv:
+        return "video_retrieval_queries_per_sec"
+    return "eva_clip_frames_per_sec_per_chip"
+
+
+def _fail_fast(error: str):
+    """Emit a well-formed zero-value JSON line and exit nonzero. Attaches
+    (never substitutes) the last successful on-chip result for context."""
+    units = {"step_caption_p50_latency": "ms",
+             "video_retrieval_queries_per_sec": "queries/sec"}
+    metric = _active_metric_name()
+    fail = {
+        "metric": metric,
+        "value": 0.0, "unit": units.get(metric, "frames/sec"),
+        "vs_baseline": 0.0, "error": error,
+    }
+    try:
+        with open(LAST_RESULT_PATH) as f:
+            fail["last_measured"] = json.load(f)
+    except Exception:
+        pass
+    print(json.dumps(fail))
+    import os
+
+    os._exit(1)
+
+
+def _wait_for_queue_lock(max_wait_s: float = 7200.0):
     """If the recovery measurement queue (tools/tpu_measure_queue.sh) is
     mid-run, wait for it instead of opening a second TPU client: two
     concurrent clients through the axon tunnel starve each other, so
     waiting is strictly better than racing. Stale locks (dead pid) are
-    ignored."""
+    ignored. If the live queue still holds the lock after max_wait_s we
+    fail fast — NEVER proceed into a concurrent client."""
     import os
     import time as _time
 
@@ -308,12 +340,16 @@ def _wait_for_queue_lock(max_wait_s: float = 1800.0):
         return
     lock = QUEUE_LOCK_PATH
     t0 = _time.perf_counter()
-    while os.path.exists(lock) and _time.perf_counter() - t0 < max_wait_s:
+    while os.path.exists(lock):
         try:
             pid = int(open(lock).read().strip())
             os.kill(pid, 0)  # raises if the queue process is gone
         except (ValueError, ProcessLookupError, OSError):
             return
+        if _time.perf_counter() - t0 > max_wait_s:
+            _fail_fast(f"measurement queue (pid {pid}) still holds the TPU "
+                       f"after {max_wait_s:.0f}s; refusing to open a "
+                       f"concurrent client")
         print(f"# measurement queue (pid {pid}) holds the TPU; waiting",
               file=sys.stderr)
         _time.sleep(30)
@@ -340,26 +376,19 @@ def _require_device(timeout_s: float = 600.0):
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
+    # Surface (never substitute) an earlier same-machine on-chip result in
+    # the fail JSON: the recovery queue may have measured successfully
+    # before the tunnel died again. value stays 0.0 — the measurement did
+    # not happen NOW — but the judge can see what did run and when.
     if "devices" not in out:
-        fail = {
-            "metric": "eva_clip_frames_per_sec_per_chip",
-            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
-            "error": out.get("error", f"TPU device init exceeded "
-                                      f"{timeout_s:.0f}s (tunnel down)"),
-        }
-        # Surface (never substitute) an earlier same-machine on-chip result:
-        # the recovery queue may have measured successfully before the
-        # tunnel died again. value stays 0.0 — the measurement did not
-        # happen NOW — but the judge can see what did run and when.
-        try:
-            with open(LAST_RESULT_PATH) as f:
-                fail["last_measured"] = json.load(f)
-        except Exception:
-            pass
-        print(json.dumps(fail))
-        import os
-
-        os._exit(1)
+        _fail_fast(out.get("error", f"TPU device init exceeded "
+                                    f"{timeout_s:.0f}s (tunnel down)"))
+    # a failed axon init can fall back to the CPU backend without raising;
+    # benching the EVA-g ladder on host CPU would burn hours producing
+    # garbage — only a real TPU device counts
+    if out["devices"][0].platform not in ("tpu", "axon"):
+        _fail_fast(f"no TPU: jax fell back to {out['devices']} "
+                   f"(tunnel down)")
 
 
 def main():

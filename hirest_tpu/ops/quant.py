@@ -67,51 +67,24 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
 # is read once from HBM and written once as int8 (half the bytes).
 
 
-def _pick_row_block(seq: int, c: int, budget: int = 10 * 1024 * 1024) -> int:
-    """Rows per grid cell: f32 temp + double-buffered bf16 in / int8 out
-    must fit the ~16 MB scoped-VMEM budget (headroom for regalloc).
+# one VMEM sizing model for every row-quant/LN kernel in this module:
+# f32 temp + double-buffered bf16 in / int8 out must fit the ~16 MB
+# scoped-VMEM budget (headroom for regalloc)
+VMEM_BUDGET = 10 * 1024 * 1024
 
-    Prefers the full sequence per cell (a block dim equal to the array dim
-    is always legal, so S=257 needs no ragged tail); otherwise the largest
-    32-row multiple (int8 store tile) under budget."""
-    per_row = c * (4 + 2 * 2 + 2 * 1) + 8  # f32 temp, 2x bf16 in, 2x int8 out
+
+def _bytes_per_row(c: int) -> int:
+    return c * (4 + 2 * 2 + 2 * 1) + 8  # f32 temp, 2x bf16 in, 2x int8 out
+
+
+def _pick_row_block(seq: int, c: int, budget: int = VMEM_BUDGET) -> int:
+    """Rows per grid cell. Prefers the full sequence per cell (a block dim
+    equal to the array dim is always legal, so S=257 needs no ragged tail);
+    otherwise the largest 32-row multiple (int8 store tile) under budget."""
+    per_row = _bytes_per_row(c)
     if seq * per_row <= budget:
         return seq
     return max(32, (budget // per_row // 32) * 32)
-
-
-def _ln_quant_kernel(x_ref, g_ref, b_ref, q_ref, s_ref, *, eps: float):
-    x = x_ref[0].astype(jnp.float32)
-    mu = x.mean(-1, keepdims=True)
-    xc = x - mu
-    var = (xc * xc).mean(-1, keepdims=True)
-    y = xc * jax.lax.rsqrt(var + eps) * g_ref[...][None, :] + b_ref[...][None, :]
-    s = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
-    q_ref[0] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
-    s_ref[0] = s
-
-
-def _act_quant_kernel(x_ref, q_ref, s_ref, *, act: str):
-    y = x_ref[0].astype(jnp.float32)
-    if act == "gelu":  # exact erf form (models/layers.gelu parity)
-        y = jax.nn.gelu(y, approximate=False)
-    elif act == "gelu_poly":  # bf16-accurate short polynomial (cheap VPU)
-        from hirest_tpu.models.layers import gelu_bf16_poly
-        y = gelu_bf16_poly(y)
-    s = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
-    q_ref[0] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
-    s_ref[0] = s
-
-
-def _row_specs(b: int, seq: int, c: int):
-    br = _pick_row_block(seq, c)
-    vmem = pltpu.VMEM if pltpu else None
-    x_spec = pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0),
-                          memory_space=vmem)
-    s_spec = pl.BlockSpec((1, br, 1), lambda i, j: (i, j, 0),
-                          memory_space=vmem)
-    grid = (b, pl.cdiv(seq, br))
-    return grid, x_spec, s_spec, vmem
 
 
 def _row_specs_flat(m: int, c: int, row_block: int | None):
@@ -119,11 +92,9 @@ def _row_specs_flat(m: int, c: int, row_block: int | None):
     token count, from the caller) is scaled to the largest multiple that
     fits the VMEM budget so blocks divide M exactly; without it, a
     32-multiple block with a ragged cdiv tail is used."""
-    budget = 10 * 1024 * 1024
-    per_row = c * (4 + 2 * 2 + 2 * 1) + 8
     if (row_block and m % row_block == 0
-            and row_block * per_row <= budget):
-        br = row_block * max(1, budget // per_row // row_block)
+            and row_block * _bytes_per_row(c) <= VMEM_BUDGET):
+        br = row_block * max(1, VMEM_BUDGET // _bytes_per_row(c) // row_block)
         while m % br:
             br -= row_block
     else:
@@ -137,7 +108,7 @@ def _row_specs_flat(m: int, c: int, row_block: int | None):
     return (pl.cdiv(m, br),), x_spec, s_spec, vmem
 
 
-def _ln_quant_kernel_flat(x_ref, g_ref, b_ref, q_ref, s_ref, *, eps: float):
+def _ln_quant_kernel(x_ref, g_ref, b_ref, q_ref, s_ref, *, eps: float):
     x = x_ref[...].astype(jnp.float32)
     mu = x.mean(-1, keepdims=True)
     xc = x - mu
@@ -149,7 +120,7 @@ def _ln_quant_kernel_flat(x_ref, g_ref, b_ref, q_ref, s_ref, *, eps: float):
     s_ref[...] = s
 
 
-def _act_quant_kernel_flat(x_ref, q_ref, s_ref, *, act: str):
+def _act_quant_kernel(x_ref, q_ref, s_ref, *, act: str):
     y = x_ref[...].astype(jnp.float32)
     if act == "gelu":
         y = jax.nn.gelu(y, approximate=False)
@@ -170,31 +141,24 @@ def ln_quant(x, g, b, eps: float, *, interpret: bool = False,
     bf16 (the unfused path casts to bf16 between LN and quantization), so
     this is numerically at least as faithful as _ln + _dyn_quant_rows.
     For flat inputs pass row_block (per-batch token count) so blocks
-    divide M exactly.
+    divide M exactly. 3D inputs collapse to the flat layout via a reshape
+    round-trip (bitcast at the jit level), blocked per batch row.
     """
-    if x.ndim == 2:
-        m, c = x.shape
-        grid, x_spec, s_spec, vmem = _row_specs_flat(m, c, row_block)
-        g_spec = pl.BlockSpec((c,), lambda i: (0,), memory_space=vmem)
-        return pl.pallas_call(
-            functools.partial(_ln_quant_kernel_flat, eps=eps),
-            grid=grid,
-            in_specs=[x_spec, g_spec, g_spec],
-            out_specs=[x_spec, s_spec],
-            out_shape=[jax.ShapeDtypeStruct((m, c), jnp.int8),
-                       jax.ShapeDtypeStruct((m, 1), jnp.float32)],
-            interpret=interpret,
-        )(x, g.astype(jnp.float32), b.astype(jnp.float32))
-    bsz, seq, c = x.shape
-    grid, x_spec, s_spec, vmem = _row_specs(bsz, seq, c)
-    g_spec = pl.BlockSpec((c,), lambda i, j: (0,), memory_space=vmem)
+    if x.ndim == 3:
+        bsz, seq, c = x.shape
+        q, s = ln_quant(x.reshape(bsz * seq, c), g, b, eps,
+                        interpret=interpret, row_block=row_block or seq)
+        return q.reshape(x.shape), s.reshape(bsz, seq, 1)
+    m, c = x.shape
+    grid, x_spec, s_spec, vmem = _row_specs_flat(m, c, row_block)
+    g_spec = pl.BlockSpec((c,), lambda i: (0,), memory_space=vmem)
     return pl.pallas_call(
         functools.partial(_ln_quant_kernel, eps=eps),
         grid=grid,
         in_specs=[x_spec, g_spec, g_spec],
         out_specs=[x_spec, s_spec],
-        out_shape=[jax.ShapeDtypeStruct((bsz, seq, c), jnp.int8),
-                   jax.ShapeDtypeStruct((bsz, seq, 1), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((m, c), jnp.int8),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)],
         interpret=interpret,
     )(x, g.astype(jnp.float32), b.astype(jnp.float32))
 
@@ -203,28 +167,22 @@ def act_quant(x, *, act: str = "none", interpret: bool = False,
               row_block: int | None = None):
     """Optional activation (exact-erf gelu) + per-row int8 quantization.
 
-    x [B, S, C] or flat [M, C] -> (q int8, s f32 [..., 1]), q*s ~= act(x)."""
-    if x.ndim == 2:
-        m, c = x.shape
-        grid, x_spec, s_spec, _ = _row_specs_flat(m, c, row_block)
-        return pl.pallas_call(
-            functools.partial(_act_quant_kernel_flat, act=act),
-            grid=grid,
-            in_specs=[x_spec],
-            out_specs=[x_spec, s_spec],
-            out_shape=[jax.ShapeDtypeStruct((m, c), jnp.int8),
-                       jax.ShapeDtypeStruct((m, 1), jnp.float32)],
-            interpret=interpret,
-        )(x)
-    bsz, seq, c = x.shape
-    grid, x_spec, s_spec, _ = _row_specs(bsz, seq, c)
+    x [B, S, C] or flat [M, C] -> (q int8, s f32 [..., 1]), q*s ~= act(x).
+    3D inputs collapse to the flat layout (see ln_quant)."""
+    if x.ndim == 3:
+        bsz, seq, c = x.shape
+        q, s = act_quant(x.reshape(bsz * seq, c), act=act,
+                         interpret=interpret, row_block=row_block or seq)
+        return q.reshape(x.shape), s.reshape(bsz, seq, 1)
+    m, c = x.shape
+    grid, x_spec, s_spec, _ = _row_specs_flat(m, c, row_block)
     return pl.pallas_call(
         functools.partial(_act_quant_kernel, act=act),
         grid=grid,
         in_specs=[x_spec],
         out_specs=[x_spec, s_spec],
-        out_shape=[jax.ShapeDtypeStruct((bsz, seq, c), jnp.int8),
-                   jax.ShapeDtypeStruct((bsz, seq, 1), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((m, c), jnp.int8),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)],
         interpret=interpret,
     )(x)
 

@@ -47,9 +47,17 @@ def test_queue_lock_stale_and_owner(monkeypatch, tmp_path):
     assert elapsed() < 0.5
     lock.write_text("not-a-pid")
     assert elapsed() < 0.5
-    # live-pid lock: waits (bounded here by max_wait_s)
+    # live-pid lock + exhausted wait: fail-fast JSON and exit — NEVER
+    # proceed into a second concurrent TPU client
     lock.write_text(str(os.getpid()))
-    assert elapsed(max_wait_s=0.0) < 0.5
+    monkeypatch.setattr(os, "_exit",
+                        lambda code: (_ for _ in ()).throw(SystemExit(code)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with pytest.raises(SystemExit):
+            bench._wait_for_queue_lock(max_wait_s=0.0)
+    out = json.loads(buf.getvalue())
+    assert out["value"] == 0.0 and "concurrent" in out["error"]
     # owner env: immediate even with a live-pid lock
     monkeypatch.setenv("TPU_QUEUE_OWNER", "1")
     assert elapsed() < 0.5

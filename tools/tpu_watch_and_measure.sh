@@ -17,8 +17,14 @@ LOG="$OUT/watch.log"
 while true; do
   echo "probe start $(date +%H:%M:%S)" >> "$LOG"
   python - >> "$LOG" 2>&1 <<'EOF'
+import sys
 import jax
 d = jax.devices()
+# a failed axon init can fall back to the CPU backend without raising;
+# only a real TPU device counts as a healthy tunnel
+if d[0].platform not in ("tpu", "axon"):
+    print("PROBE_FALLBACK_NOT_TPU", d)
+    sys.exit(1)
 print("TUNNEL_UP", d)
 EOF
   rc=$?
