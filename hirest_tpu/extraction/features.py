@@ -20,17 +20,31 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 
 
-def iter_video_frame_batches(frame_dir: Path, preprocess_fn: Callable,
-                             batch_size: int):
-    """Yields (frame_batch [n,H,W,3], count) over the sorted frames of one
-    video directory, final batch zero-padded to batch_size for one jit shape."""
+def _decode_frame(args):
+    """(preprocess_fn, path) -> preprocessed array; module-level so it
+    pickles into spawn-context decode workers."""
     from PIL import Image
 
+    preprocess_fn, path = args
+    return preprocess_fn(Image.open(path).convert("RGB"))
+
+
+def iter_video_frame_batches(frame_dir: Path, preprocess_fn: Callable,
+                             batch_size: int, pool=None):
+    """Yields (frame_batch [n,H,W,3], count) over the sorted frames of one
+    video directory, final batch zero-padded to batch_size for one jit shape.
+
+    pool: optional executor (see extract_video_features decode_workers) that
+    fans the JPEG decode + resize across processes — PIL holds the GIL, so
+    threads don't parallelize it."""
     paths = sorted(frame_dir.glob("frame_*.jpg"))
     for i in range(0, len(paths), batch_size):
         chunk = paths[i: i + batch_size]
-        imgs = np.stack([preprocess_fn(Image.open(p).convert("RGB"))
-                         for p in chunk])
+        work = [(preprocess_fn, p) for p in chunk]
+        if pool is not None:
+            imgs = np.stack(list(pool.map(_decode_frame, work, chunksize=8)))
+        else:
+            imgs = np.stack([_decode_frame(w) for w in work])
         n = len(chunk)
         if n < batch_size:
             imgs = np.concatenate(
@@ -49,17 +63,36 @@ def extract_video_features(
     process_id: int = 0,
     num_processes: int = 1,
     durations: Optional[dict] = None,
+    decode_workers: int = 0,
 ) -> int:
     """Encode every video's frames; writes {video_id}.npy [n_frames, 1024].
 
     `durations` (video_id -> seconds) truncates features to round(duration)
     — the check_feature_size repair folded into the pipeline.
+
+    The host decode pipeline overlaps the device encode (a background
+    thread keeps 2 batches ahead — the single-controller analogue of the
+    reference's DataLoader workers, hirest_dataset.py:610-630), and
+    `decode_workers > 0` additionally fans the per-frame JPEG decode +
+    bicubic resize across that many spawn-context processes.
     """
+    from hirest_tpu.data.prefetch import prefetch
+
     frame_root, out_dir = Path(frame_root), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if video_ids is None:
         video_ids = sorted(d.name for d in frame_root.iterdir() if d.is_dir())
     video_ids = list(video_ids)[process_id::num_processes]
+
+    pool = None
+    if decode_workers > 0:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        # spawn, not fork: forking after jax/XLA initialization can deadlock
+        # on inherited runtime threads; the workers only ever run PIL
+        pool = ProcessPoolExecutor(decode_workers,
+                                   mp_context=mp.get_context("spawn"))
 
     n_done = 0
     for vid in video_ids:
@@ -67,8 +100,8 @@ def extract_video_features(
         if out.exists():
             continue
         feats = []
-        for imgs, n in iter_video_frame_batches(frame_root / vid,
-                                                preprocess_fn, batch_size):
+        for imgs, n in prefetch(iter_video_frame_batches(
+                frame_root / vid, preprocess_fn, batch_size, pool=pool)):
             emb = np.asarray(encode_image_fn(imgs), dtype=np.float32)[:n]
             feats.append(emb)
         if not feats:
@@ -80,6 +113,8 @@ def extract_video_features(
             feats = feats[: round(durations[vid])]
         np.save(out, feats)
         n_done += 1
+    if pool is not None:
+        pool.shutdown()
     return n_done
 
 
@@ -159,11 +194,14 @@ if __name__ == "__main__":
     p.add_argument("--uint8_frontend", action="store_true",
                    help="ship raw uint8 frames; normalization folded into "
                         "the patch embed (4x less host->device traffic)")
+    p.add_argument("--decode_workers", type=int, default=0,
+                   help="JPEG decode/resize worker processes (0 = in-line)")
     a = p.parse_args()
     enc, pre = make_eva_encoder(a.pretrained_dir,
                                 use_pallas=not a.no_pallas, int8=a.int8,
                                 uint8_frontend=a.uint8_frontend)
     n = extract_video_features(a.frame_dir, a.out_dir, enc, pre, a.batch_size,
                                process_id=a.process_id,
-                               num_processes=a.num_processes)
+                               num_processes=a.num_processes,
+                               decode_workers=a.decode_workers)
     print(f"encoded {n} videos")
