@@ -88,17 +88,25 @@ def encode_videos_from_frames(frame_dir: str, video_ids: Sequence[str],
     frames and mean-pool. `encode_image_fn` maps [N,H,W,3] -> [N,D]."""
     from PIL import Image
 
+    from hirest_tpu.data.prefetch import prefetch
+
+    def _decoded():
+        # host decode runs a video ahead of the device encode (prefetch
+        # thread), mirroring the extraction pipeline's overlap
+        for vid in video_ids:
+            vdir = Path(frame_dir) / vid
+            frame_paths = sorted(vdir.glob("frame_*.jpg"))
+            if not frame_paths:
+                raise FileNotFoundError(f"no frames for {vid} in {vdir}")
+            ids = subsample_indices(len(frame_paths), n_model_frames)
+            yield vid, np.stack([
+                preprocess_fn(Image.open(frame_paths[i]).convert("RGB"))
+                for i in ids])
+
     out = []
     if save_feature_dir:
         os.makedirs(save_feature_dir, exist_ok=True)
-    for vid in video_ids:
-        vdir = Path(frame_dir) / vid
-        frame_paths = sorted(vdir.glob("frame_*.jpg"))
-        if not frame_paths:
-            raise FileNotFoundError(f"no frames for {vid} in {vdir}")
-        ids = subsample_indices(len(frame_paths), n_model_frames)
-        imgs = np.stack([preprocess_fn(Image.open(frame_paths[i]).convert("RGB"))
-                         for i in ids])
+    for vid, imgs in prefetch(_decoded()):
         embs = []
         for i in range(0, len(imgs), batch_size):
             embs.append(np.asarray(encode_image_fn(imgs[i: i + batch_size]),
