@@ -71,3 +71,31 @@ def test_upsample_linspace_semantics(tmp_path):
     np.save(fdir / "x.mp4.npy", feats)
     emb = encode_videos_from_features(str(fdir), ["x.mp4"], n_model_frames=8)
     assert emb.shape == (1, 8)
+
+
+def test_encode_videos_from_frames(tmp_path):
+    """Raw-frame path (prefetch-overlapped): linspace frame subsample,
+    batch encode, mean-pool + L2-normalize, optional per-video save."""
+    import numpy as np
+    from PIL import Image
+
+    from hirest_tpu.infer.retrieval import encode_videos_from_frames
+
+    rng = np.random.default_rng(0)
+    for vid, n in (("vidA", 9), ("vidB", 3)):
+        d = tmp_path / "frames" / vid
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+                            ).save(d / f"frame_{i:05d}.jpg")
+
+    pre = lambda img: np.asarray(img, np.float32) / 255.0  # noqa: E731
+    enc = lambda im: np.asarray(im, np.float32).reshape(len(im), -1)[:, :8]  # noqa: E731
+    out = encode_videos_from_frames(
+        str(tmp_path / "frames"), ["vidA", "vidB"], enc, pre,
+        n_model_frames=4, batch_size=3,
+        save_feature_dir=str(tmp_path / "saved"))
+    assert out.shape == (2, 8)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+    saved = np.load(tmp_path / "saved" / "vidA.npy")
+    assert saved.shape == (4, 8)  # n_model_frames rows, pre-pool
