@@ -35,9 +35,14 @@ import numpy as np
 
 BASELINE_FPS = 10_000.0
 
-# every successful ladder result is recorded here (with a timestamp) so a
-# later tunnel-down fail-fast can still surface the round's real number
-LAST_RESULT_PATH = "/tmp/hirest_bench_last.json"
+# Every successful on-chip result is recorded here (keyed by metric, with a
+# timestamp) so a later tunnel-down fail-fast can still surface the round's
+# real numbers. REPO-resident (not /tmp) so it survives environment resets
+# and rides along in commits; the measurement queue commits it.
+import os as _os
+
+LAST_RESULT_PATH = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "BENCH_LAST_GOOD.json")
 
 # held by tools/tpu_measure_queue.sh while it owns the TPU
 QUEUE_LOCK_PATH = "/tmp/tpu_queue.lock"
@@ -304,9 +309,36 @@ def _active_metric_name() -> str:
     return "eva_clip_frames_per_sec_per_chip"
 
 
+def _read_last_good() -> dict:
+    """BENCH_LAST_GOOD.json contents ({metric: result}), {} if absent."""
+    try:
+        with open(LAST_RESULT_PATH) as f:
+            data = json.load(f)
+        # pre-round-4 format was a single result object, not keyed by metric
+        if "metric" in data and "value" in data:
+            return {data["metric"]: data}
+        return data
+    except Exception:
+        return {}
+
+
+def _record_last_good(result: dict):
+    """Merge a successful on-chip result into BENCH_LAST_GOOD.json."""
+    try:
+        data = _read_last_good()
+        data[result["metric"]] = {**result, "measured_at": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        tmp = LAST_RESULT_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        _os.replace(tmp, LAST_RESULT_PATH)
+    except Exception as e:
+        print(f"# last-good record failed: {e}", file=sys.stderr)
+
+
 def _fail_fast(error: str):
     """Emit a well-formed zero-value JSON line and exit nonzero. Attaches
-    (never substitutes) the last successful on-chip result for context."""
+    (never substitutes) the last successful on-chip results for context."""
     units = {"step_caption_p50_latency": "ms",
              "video_retrieval_queries_per_sec": "queries/sec"}
     metric = _active_metric_name()
@@ -315,11 +347,11 @@ def _fail_fast(error: str):
         "value": 0.0, "unit": units.get(metric, "frames/sec"),
         "vs_baseline": 0.0, "error": error,
     }
-    try:
-        with open(LAST_RESULT_PATH) as f:
-            fail["last_measured"] = json.load(f)
-    except Exception:
-        pass
+    last = _read_last_good()
+    if metric in last:
+        fail["last_measured"] = last[metric]
+    if last:
+        fail["last_measured_all"] = last
     print(json.dumps(fail))
     import os
 
@@ -344,6 +376,8 @@ def _wait_for_queue_lock(max_wait_s: float = 7200.0):
         try:
             pid = int(open(lock).read().strip())
             os.kill(pid, 0)  # raises if the queue process is gone
+        except PermissionError:
+            pass  # holder alive under another uid — keep waiting
         except (ValueError, ProcessLookupError, OSError):
             return
         if _time.perf_counter() - t0 > max_wait_s:
@@ -409,15 +443,18 @@ def main():
         enable_compilation_cache()
     if "--latency" in sys.argv:
         p50 = bench_caption_latency()
-        print(json.dumps({"metric": "step_caption_p50_latency",
-                          "value": round(p50, 2), "unit": "ms",
-                          "vs_baseline": 0.0}))
+        result = {"metric": "step_caption_p50_latency",
+                  "value": round(p50, 2), "unit": "ms", "vs_baseline": 0.0}
+        print(json.dumps(result))
+        _record_last_good(result)
         return
     if "--vr" in sys.argv:
         qps = bench_retrieval_qps()
-        print(json.dumps({"metric": "video_retrieval_queries_per_sec",
-                          "value": round(qps, 2), "unit": "queries/sec",
-                          "vs_baseline": 0.0}))
+        result = {"metric": "video_retrieval_queries_per_sec",
+                  "value": round(qps, 2), "unit": "queries/sec",
+                  "vs_baseline": 0.0}
+        print(json.dumps(result))
+        _record_last_good(result)
         return
 
     # batch 128 measured fastest in both modes (BENCHLOG.md: 256 loses
@@ -556,12 +593,7 @@ def main():
     }
     print(json.dumps(result))
     if not smoke and best > 0:
-        try:
-            with open(LAST_RESULT_PATH, "w") as f:
-                json.dump({**result, "measured_at": time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
-        except Exception:
-            pass
+        _record_last_good(result)
 
 
 if __name__ == "__main__":

@@ -61,11 +61,53 @@ def test_queue_lock_stale_and_owner(monkeypatch, tmp_path):
     # owner env: immediate even with a live-pid lock
     monkeypatch.setenv("TPU_QUEUE_OWNER", "1")
     assert elapsed() < 0.5
+    # PermissionError from kill(pid, 0) means the holder is ALIVE under
+    # another uid — must keep waiting (fail fast here), never proceed
+    monkeypatch.delenv("TPU_QUEUE_OWNER")
+    real_kill = os.kill
+    monkeypatch.setattr(
+        os, "kill",
+        lambda pid, sig: (_ for _ in ()).throw(PermissionError())
+        if sig == 0 else real_kill(pid, sig))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with pytest.raises(SystemExit):
+            bench._wait_for_queue_lock(max_wait_s=0.0)
+    assert "concurrent" in json.loads(buf.getvalue())["error"]
+
+
+def test_record_last_good_merges_by_metric(monkeypatch, tmp_path):
+    last = tmp_path / "BENCH_LAST_GOOD.json"
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH", str(last))
+    bench._record_last_good({"metric": "eva_clip_frames_per_sec_per_chip",
+                             "value": 270.0, "unit": "frames/sec"})
+    bench._record_last_good({"metric": "step_caption_p50_latency",
+                             "value": 31.0, "unit": "ms"})
+    data = json.load(open(last))
+    assert data["eva_clip_frames_per_sec_per_chip"]["value"] == 270.0
+    assert data["step_caption_p50_latency"]["value"] == 31.0
+    assert "measured_at" in data["eva_clip_frames_per_sec_per_chip"]
+    # a newer result for the same metric replaces, others survive
+    bench._record_last_good({"metric": "eva_clip_frames_per_sec_per_chip",
+                             "value": 300.0, "unit": "frames/sec"})
+    data = json.load(open(last))
+    assert data["eva_clip_frames_per_sec_per_chip"]["value"] == 300.0
+    assert data["step_caption_p50_latency"]["value"] == 31.0
+    # pre-round-4 single-object files migrate on read
+    json.dump({"metric": "video_retrieval_queries_per_sec", "value": 9.0},
+              open(last, "w"))
+    assert bench._read_last_good()[
+        "video_retrieval_queries_per_sec"]["value"] == 9.0
 
 
 def test_tunnel_down_failfast_attaches_last_measured(monkeypatch, tmp_path):
-    last = tmp_path / "last.json"
-    json.dump({"value": 321.0, "measured_at": "2026-08-17T12:00:00Z"},
+    last = tmp_path / "BENCH_LAST_GOOD.json"
+    json.dump({"eva_clip_frames_per_sec_per_chip":
+               {"metric": "eva_clip_frames_per_sec_per_chip", "value": 321.0,
+                "measured_at": "2026-08-17T12:00:00Z"},
+               "step_caption_p50_latency":
+               {"metric": "step_caption_p50_latency", "value": 31.0,
+                "measured_at": "2026-08-17T12:00:00Z"}},
               open(last, "w"))
     monkeypatch.setattr(bench, "LAST_RESULT_PATH", str(last))
     monkeypatch.setattr(os, "_exit",
@@ -85,10 +127,13 @@ def test_tunnel_down_failfast_attaches_last_measured(monkeypatch, tmp_path):
     assert out["value"] == 0.0
     assert out["metric"] == "eva_clip_frames_per_sec_per_chip"
     assert out["last_measured"]["value"] == 321.0
-    # without a recorded result the key is absent
+    # every recorded metric rides along so an outage zeroes nothing
+    assert out["last_measured_all"]["step_caption_p50_latency"]["value"] == 31.0
+    # without a recorded result the keys are absent
     monkeypatch.setattr(bench, "LAST_RESULT_PATH", str(tmp_path / "nope"))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         with pytest.raises(SystemExit):
             bench._require_device(timeout_s=0.0)
-    assert "last_measured" not in json.loads(buf.getvalue())
+    out = json.loads(buf.getvalue())
+    assert "last_measured" not in out and "last_measured_all" not in out

@@ -9,9 +9,22 @@ mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
 # Lock out other TPU clients (bench.py waits on this): two concurrent
-# clients through the axon tunnel starve each other. Removed on ANY exit.
+# clients through the axon tunnel starve each other. Acquired atomically
+# (noclobber) so a second queue instance cannot steal a live lock; a stale
+# lock (dead pid) is reclaimed. Removed on ANY exit.
 LOCK=/tmp/tpu_queue.lock
-echo $$ > "$LOCK"
+if ! (set -o noclobber; echo $$ > "$LOCK") 2>/dev/null; then
+  holder=$(cat "$LOCK" 2>/dev/null)
+  if [ -n "$holder" ] && kill -0 "$holder" 2>/dev/null; then
+    echo "queue lock held by live pid $holder; refusing to run" >&2
+    exit 1
+  fi
+  rm -f "$LOCK"
+  if ! (set -o noclobber; echo $$ > "$LOCK") 2>/dev/null; then
+    echo "lost the lock race; refusing to run" >&2
+    exit 1
+  fi
+fi
 trap 'rm -f "$LOCK"' EXIT
 export TPU_QUEUE_OWNER=1  # our own bench step must not wait on our lock
 
@@ -47,4 +60,12 @@ run padded_flat python bench.py --padded-heads --bf16 --flat2d --attn-v2 \
 #    and retrieval queries/sec, refreshed post-kernel-changes
 run latency python bench.py --latency
 run vr python bench.py --vr
+
+# 4. persist the round's on-chip numbers in the repo so a later tunnel
+#    outage degrades the bench signal instead of zeroing it (VERDICT r3 #2)
+if [ -s BENCH_LAST_GOOD.json ]; then
+  git add BENCH_LAST_GOOD.json
+  git commit -m "bench: record on-chip last-known-good results" \
+    --only BENCH_LAST_GOOD.json >> "$OUT/queue.log" 2>&1 || true
+fi
 
