@@ -160,7 +160,8 @@ def build_host_params(padded_heads: bool = True):
 def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                     scan: bool = True, dtype_name: str = "bfloat16",
                     fused_quant: bool = False, attn_v2: bool = False,
-                    flat2d: bool = False, fused_ln: bool = False, staged=None,
+                    attn_v3: bool = False, flat2d: bool = False,
+                    fused_ln: bool = False, staged=None,
                     interpret: bool = False):
     """-> apply(images) with weights staged on device once (bf16/int8)."""
     import jax
@@ -173,7 +174,8 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
         return build_scanned_vision_apply(params, cfg, int8=int8,
                                           use_pallas=use_pallas, dtype=dtype,
                                           fused_quant=fused_quant,
-                                          attn_v2=attn_v2, flat2d=flat2d,
+                                          attn_v2=attn_v2, attn_v3=attn_v3,
+                                          flat2d=flat2d,
                                           fused_ln=fused_ln,
                                           staged=staged, interpret=interpret)
     if int8:
@@ -469,38 +471,45 @@ def main():
         if arg.startswith("--batch="):
             batches = [int(x) for x in arg.split("=")[1].split(",")]
 
-    # Config ladder: (int8, fused_quant, attn_v2, flat2d, fused_ln). The
-    # measured-good baselines run alongside the newer kernel paths; any
-    # config that fails
-    # to build/compile on the chip is skipped and the best survivor wins,
-    # so an unproven kernel can only improve the reported number.
+    # Config ladder: (int8, fused_quant, kernel_version, flat2d, fused_ln)
+    # with kernel_version 0 = v1 fused-qkv, 1 = v2 lean exp2, 2 = v3
+    # batched-heads. The measured-good baselines run alongside the newer
+    # kernel paths; any config that fails to build/compile on the chip is
+    # skipped and the best survivor wins, so an unproven kernel can only
+    # improve the reported number.
     if "--int8" in sys.argv:
-        ladder = [(True, False, False, False, False)]
+        ladder = [(True, False, 0, False, False)]
     elif "--bf16" in sys.argv:
-        ladder = [(False, False, False, False, False)]
+        ladder = [(False, False, 0, False, False)]
     else:
         # measured-good configs FIRST so budget exhaustion can only drop
         # unproven candidates, never the historical best
         ladder = [
-            (False, False, False, False, False),  # bf16 baseline (measured-good)
-            (True, False, False, False, False),   # int8 baseline (measured-good)
-            (False, False, True, False, False),   # bf16 + v2 kernel
-            (False, False, False, True, False),   # bf16 flat trunk
-            (False, False, True, True, False),    # bf16 flat + v2
-            (True, True, True, False, False),     # int8 + fused quant + v2
-            (True, False, True, True, False),     # int8 flat + v2
-            (True, True, True, True, False),      # int8 flat + fused quant + v2
-            (False, False, True, True, True),     # bf16 flat + v2 + pallas LN
+            (False, False, 0, False, False),  # bf16 baseline (measured-good)
+            (True, False, 0, False, False),   # int8 baseline (measured-good)
+            (False, False, 1, False, False),  # bf16 + v2 kernel
+            (False, False, 0, True, False),   # bf16 flat trunk
+            (False, False, 1, True, False),   # bf16 flat + v2
+            (False, False, 2, True, False),   # bf16 flat + v3 batched heads
+            (True, True, 1, False, False),    # int8 + fused quant + v2
+            (True, False, 1, True, False),    # int8 flat + v2
+            (True, True, 1, True, False),     # int8 flat + fused quant + v2
+            (True, True, 2, True, False),     # int8 flat + fq + v3
+            (False, False, 1, True, True),    # bf16 flat + v2 + pallas LN
+            (False, False, 2, True, True),    # bf16 flat + v3 + pallas LN
+            (False, False, 2, False, False),  # bf16 3D + v3
         ]
-    if "--fused-quant" in sys.argv or "--attn-v2" in sys.argv:
+    if ("--fused-quant" in sys.argv or "--attn-v2" in sys.argv
+            or "--attn-v3" in sys.argv):
         fq_f = "--fused-quant" in sys.argv
-        v2_f = "--attn-v2" in sys.argv
-        ladder = [(i8, fq_f and i8, v2_f, fl, ln)
+        kv_f = 2 if "--attn-v3" in sys.argv else (
+            1 if "--attn-v2" in sys.argv else 0)
+        ladder = [(i8, fq_f and i8, kv_f, fl, ln)
                   for (i8, _, _, fl, ln) in ladder]
     if "--flat2d" in sys.argv:
-        ladder = [(i8, fq, v2, True, ln) for (i8, fq, v2, _, ln) in ladder]
+        ladder = [(i8, fq, kv, True, ln) for (i8, fq, kv, _, ln) in ladder]
     if "--fused-ln" in sys.argv:
-        ladder = [(i8, fq, v2, fl, not i8) for (i8, fq, v2, fl, _) in ladder]
+        ladder = [(i8, fq, kv, fl, not i8) for (i8, fq, kv, fl, _) in ladder]
     ladder = list(dict.fromkeys(ladder))  # remaps can alias configs
 
     if smoke:
@@ -525,13 +534,14 @@ def main():
 
     best, best_cfg = 0.0, {}
     staged_by_prec = {}  # one device upload per precision for all configs
-    for int8, fq, v2, flat, fln in ladder:
+    for int8, fq, kv, flat, fln in ladder:
         if time.perf_counter() - ladder_t0 > budget_s:
             print(f"# ladder budget {budget_s:.0f}s exhausted; "
                   f"skipping remaining configs", file=sys.stderr)
             break
         tag = (("int8" if int8 else "bf16") + ("+fq" if fq else "")
-               + ("+v2" if v2 else "") + ("+flat" if flat else "")
+               + ("+v2" if kv == 1 else "") + ("+v3" if kv == 2 else "")
+               + ("+flat" if flat else "")
                + ("+lnk" if fln else "") + ("+pad" if padded else ""))
         try:
             if scan and int8 not in staged_by_prec:
@@ -545,7 +555,8 @@ def main():
                       f"{time.perf_counter() - t1:.1f}s", file=sys.stderr)
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
                                     int8=int8, scan=scan, fused_quant=fq,
-                                    attn_v2=v2, flat2d=flat, fused_ln=fln,
+                                    attn_v2=kv == 1, attn_v3=kv == 2,
+                                    flat2d=flat, fused_ln=fln,
                                     staged=staged_by_prec.get(int8),
                                     interpret=smoke)
         except Exception as e:

@@ -192,12 +192,15 @@ class CocoEvaluator:
     takes flat candidate/reference string lists, returns {metric: score}."""
 
     def __init__(self, coco_types=("BLEU", "METEOR", "ROUGE_L", "CIDEr"),
-                 spice_fn=None, meteor_version="2005"):
+                 spice_fn=None, meteor_version="2005", meteor_kwargs=None):
         self.coco_types = coco_types
         self.spice_fn = spice_fn
         # "1.5" scores with the METEOR-1.5 English model (the reference
-        # jar's parameterization; see eval/meteor.py)
+        # jar's parameterization; see eval/meteor.py); meteor_kwargs can
+        # inject the synonym/paraphrase data sources (synonyms=,
+        # paraphrases=) when a WordNet db / paraphrase table is available
         self.meteor_version = meteor_version
+        self.meteor_kwargs = meteor_kwargs or {}
 
     def run_evaluation(self, candidates: list[str], references: list[str]) -> dict:
         refs = [[r] if isinstance(r, str) else list(r) for r in references]
@@ -211,7 +214,7 @@ class CocoEvaluator:
             results["METEOR"] = meteor(
                 [tokenize(c) for c in candidates],
                 [[tokenize(r) for r in rs] for rs in refs],
-                version=self.meteor_version)
+                version=self.meteor_version, **self.meteor_kwargs)
         if "ROUGE_L" in self.coco_types:
             results["ROUGE_L"] = rouge_l(candidates, refs)
         if "CIDEr" in self.coco_types:

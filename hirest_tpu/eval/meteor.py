@@ -207,16 +207,99 @@ def _stage_match(hyp, ref, key):
     return matches, hyp_rest, ref_rest
 
 
-def align_modules(hyp_tokens: list[str], ref_tokens: list[str]):
-    """Exact stage then Porter-stem stage on the residue; returns
-    (hyp_index, ref_index, module) triples sorted by hypothesis index,
-    module 0 = exact, 1 = stem (METEOR's module numbering)."""
+def _stage_match_pred(hyp, ref, pred):
+    """Predicate variant of _stage_match (synonym stage): match each
+    remaining hypothesis word (scanned from the END) to the latest unused
+    reference word with pred(h_word, r_word) true."""
+    matches = []
+    used_h, used_r = set(), set()
+    for i in range(len(hyp) - 1, -1, -1):
+        for j in range(len(ref) - 1, -1, -1):
+            if j not in used_r and pred(hyp[i][1], ref[j][1]):
+                used_h.add(i)
+                used_r.add(j)
+                matches.append((hyp[i][0], ref[j][0]))
+                break
+    hyp_rest = [p for i, p in enumerate(hyp) if i not in used_h]
+    ref_rest = [p for j, p in enumerate(ref) if j not in used_r]
+    return matches, hyp_rest, ref_rest
+
+
+def _spans(rest, max_len):
+    """Contiguous-in-the-original-sentence spans of a residue list of
+    (orig_index, word), longest first (down to single words — the jar's
+    paraphrase table pairs phrases of any length incl. 1):
+    [(start_offset, length), ...]."""
+    out = []
+    for ln in range(max_len, 0, -1):
+        for a in range(len(rest) - ln + 1):
+            idxs = [rest[a + k][0] for k in range(ln)]
+            if idxs[-1] - idxs[0] == ln - 1:
+                out.append((a, ln))
+    return out
+
+
+def _stage_match_phrases(hyp, ref, table, max_len=4):
+    """Paraphrase stage: greedily match unmatched contiguous spans
+    (longest-first) whose (hyp_phrase, ref_phrase) word-tuple pair is in
+    `table` (a set/dict of phrase-tuple pairs, or a callable
+    (h_phrase, r_phrase) -> bool). Returns span matches as
+    (h_indices, r_indices) tuples plus the residues."""
+    hit = table if callable(table) else (lambda a, b: (a, b) in table)
+    matches = []
+    used_h, used_r = set(), set()
+    for a, hl in _spans(hyp, max_len):
+        if any(a + k in used_h for k in range(hl)):
+            continue
+        h_words = tuple(hyp[a + k][1] for k in range(hl))
+        for b, rl in _spans(ref, max_len):
+            if any(b + k in used_r for k in range(rl)):
+                continue
+            if hit(h_words, tuple(ref[b + k][1] for k in range(rl))):
+                used_h.update(a + k for k in range(hl))
+                used_r.update(b + k for k in range(rl))
+                matches.append((tuple(hyp[a + k][0] for k in range(hl)),
+                                tuple(ref[b + k][0] for k in range(rl))))
+                break
+    hyp_rest = [p for i, p in enumerate(hyp) if i not in used_h]
+    ref_rest = [p for j, p in enumerate(ref) if j not in used_r]
+    return matches, hyp_rest, ref_rest
+
+
+def align_modules_full(hyp_tokens: list[str], ref_tokens: list[str],
+                       synonyms=None, paraphrases=None):
+    """All four METEOR matcher stages on successive residues; returns
+    span-match triples (h_indices, r_indices, module) sorted by first
+    hypothesis index. Module numbering per the jar: 0 = exact, 1 = stem,
+    2 = synonym, 3 = paraphrase. Modules 0-2 emit single-word spans.
+
+    synonyms: optional word -> set-of-synset-ids lookup (the jar uses
+    WordNet; no WordNet db ships in this image, so the source is
+    injectable — two words match when their synset sets intersect).
+    paraphrases: optional phrase-pair table for _stage_match_phrases (the
+    jar's paraphrase-en.gz is likewise not redistributable here)."""
     hyp = list(enumerate(hyp_tokens))
     ref = list(enumerate(ref_tokens))
     exact, hyp, ref = _stage_match(hyp, ref, lambda w: w)
     stemmed, hyp, ref = _stage_match(hyp, ref, porter_stem)
-    return sorted([(h, r, 0) for h, r in exact]
-                  + [(h, r, 1) for h, r in stemmed])
+    out = ([((h,), (r,), 0) for h, r in exact]
+           + [((h,), (r,), 1) for h, r in stemmed])
+    if synonyms is not None:
+        syn, hyp, ref = _stage_match_pred(
+            hyp, ref, lambda a, b: bool(synonyms(a) & synonyms(b)))
+        out += [((h,), (r,), 2) for h, r in syn]
+    if paraphrases is not None:
+        para, hyp, ref = _stage_match_phrases(hyp, ref, paraphrases)
+        out += [(hs, rs, 3) for hs, rs in para]
+    return sorted(out)
+
+
+def align_modules(hyp_tokens: list[str], ref_tokens: list[str]):
+    """Exact stage then Porter-stem stage on the residue; returns
+    (hyp_index, ref_index, module) triples sorted by hypothesis index,
+    module 0 = exact, 1 = stem (METEOR's module numbering)."""
+    return [(hs[0], rs[0], m)
+            for hs, rs, m in align_modules_full(hyp_tokens, ref_tokens)]
 
 
 def align(hyp_tokens: list[str], ref_tokens: list[str]):
@@ -249,6 +332,29 @@ def meteor_single(hyp_tokens: list[str], ref_tokens: list[str],
     return (1 - penalty) * fmean
 
 
+def _check_tokenized(candidates, references):
+    """Reject untokenized input: a plain string where a token list is
+    expected silently scores ~0 (the whole sentence becomes one "token" —
+    verified failure mode: meteor([['sent']], ['sent']) -> 0.0). The
+    evaluator tokenizes correctly (eval/coco.py); this guards any future
+    direct caller of the parity-critical metric."""
+    for c in candidates:
+        if isinstance(c, str):
+            raise TypeError(
+                f"meteor candidates must be token lists, got str {c!r} — "
+                f"tokenize first (e.g. hirest_tpu.eval.coco.tokenize)")
+    for refs in references:
+        if isinstance(refs, str):
+            raise TypeError(
+                f"meteor references must be LISTS of token lists per "
+                f"candidate, got str {refs!r} — tokenize first")
+        for r in refs:
+            if isinstance(r, str):
+                raise TypeError(
+                    f"each meteor reference must be a token list, got str "
+                    f"{r!r} — tokenize first")
+
+
 def meteor(candidates: list[list[str]], references: list[list[list[str]]],
            alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
            version: str = "2005", **kw) -> float:
@@ -263,6 +369,7 @@ def meteor(candidates: list[list[str]], references: list[list[list[str]]],
     """
     if version == "1.5":
         return meteor_15(candidates, references, **kw)
+    _check_tokenized(candidates, references)
     assert len(candidates) == len(references)
     if not candidates:
         return 0.0
@@ -290,8 +397,12 @@ def meteor(candidates: list[list[str]], references: list[list[list[str]]],
 #   * corpus score = pooled sufficient statistics (micro-average) over the
 #     best-scoring reference per segment, NOT a mean of sentence scores.
 
+# Module weights (exact, stem, synonym, paraphrase) — the jar's English
+# defaults. Synonym/paraphrase stages only fire when a data source is
+# injected (meteor_15 synonyms=/paraphrases=); neither WordNet nor
+# paraphrase-en.gz ships in this image.
 METEOR15_EN = {"alpha": 0.85, "beta": 0.2, "gamma": 0.6, "delta": 0.75,
-               "weights": (1.0, 0.6)}
+               "weights": (1.0, 0.6, 0.8, 0.6)}
 
 # Approximation of the jar's frequency-derived `function.words` list (words
 # with relative frequency > 1e-3 in its news corpus) : the closed-class
@@ -317,24 +428,38 @@ often sometimes again then there here now
 """.split())
 
 
-def _stats_15(hyp, ref, delta, weights):
+def _count_chunks_spans(matches) -> int:
+    """Chunk count over span matches (hs, rs, mod) sorted by hs[0]: a new
+    chunk starts whenever the next match is not contiguous on BOTH sides."""
+    chunks = 1
+    for a, b in zip(matches, matches[1:]):
+        if not (b[0][0] == a[0][-1] + 1 and b[1][0] == a[1][-1] + 1):
+            chunks += 1
+    return chunks
+
+
+def _stats_15(hyp, ref, delta, weights, synonyms=None, paraphrases=None):
     """Sufficient statistics for one segment (MeteorStats).
 
     delta weights CONTENT words; function words carry 1-delta (Meteor
     Universal eq. for P/R: delta*m(h_c) + (1-delta)*m(h_f) over
     delta*|h_c| + (1-delta)*|h_f|) — with the English delta=.75 a
     function-word match recovers less weighted mass than a content match.
-    """
-    matches = align_modules(hyp, ref)
+    Paraphrase matches can cover different word counts per side, so the
+    fragmentation `matches` total is the AVERAGE of covered hypothesis and
+    reference words (Denkowski & Lavie 2014, m = mean matched words)."""
+    matches = align_modules_full(hyp, ref, synonyms, paraphrases)
     wf = lambda w: (1.0 - delta) if w in FUNCTION_WORDS else delta
     return {
-        "p_num": sum(weights[mod] * wf(hyp[h]) for h, _, mod in matches),
-        "r_num": sum(weights[mod] * wf(ref[r]) for _, r, mod in matches),
+        "p_num": sum(weights[mod] * sum(wf(hyp[h]) for h in hs)
+                     for hs, _, mod in matches),
+        "r_num": sum(weights[mod] * sum(wf(ref[r]) for r in rs)
+                     for _, rs, mod in matches),
         "p_den": sum(wf(w) for w in hyp),
         "r_den": sum(wf(w) for w in ref),
-        "matches": len(matches),
-        "chunks": (_count_chunks([(h, r) for h, r, _ in matches])
-                   if matches else 0),
+        "matches": 0.5 * (sum(len(hs) for hs, _, _ in matches)
+                          + sum(len(rs) for _, rs, _ in matches)),
+        "chunks": _count_chunks_spans(matches) if matches else 0,
     }
 
 
@@ -356,10 +481,15 @@ def meteor_15(candidates: list[list[str]], references: list[list[list[str]]],
               beta: float = METEOR15_EN["beta"],
               gamma: float = METEOR15_EN["gamma"],
               delta: float = METEOR15_EN["delta"],
-              weights: tuple = METEOR15_EN["weights"]) -> float:
+              weights: tuple = METEOR15_EN["weights"],
+              synonyms=None, paraphrases=None) -> float:
     """Corpus METEOR-1.5: per segment pick the reference with the best
     sentence-level score, aggregate its sufficient statistics, and compute
-    the final score on the pooled totals (the jar's system-level score)."""
+    the final score on the pooled totals (the jar's system-level score).
+
+    synonyms / paraphrases inject the module-2/3 data sources (see
+    align_modules_full); without them only exact+stem stages run."""
+    _check_tokenized(candidates, references)
     assert len(candidates) == len(references)
     if not candidates:
         return 0.0
@@ -367,7 +497,8 @@ def meteor_15(candidates: list[list[str]], references: list[list[list[str]]],
               ("p_num", "r_num", "p_den", "r_den", "matches", "chunks")}
     for cand, refs in zip(candidates, references):
         hyp = [t.lower() for t in cand]
-        best = max((_stats_15(hyp, [t.lower() for t in r], delta, weights)
+        best = max((_stats_15(hyp, [t.lower() for t in r], delta, weights,
+                              synonyms, paraphrases)
                     for r in refs),
                    key=lambda s: _score_15(s, alpha, beta, gamma))
         for k in totals:
@@ -380,8 +511,10 @@ def meteor_single_15(hyp_tokens: list[str], ref_tokens: list[str],
                      beta: float = METEOR15_EN["beta"],
                      gamma: float = METEOR15_EN["gamma"],
                      delta: float = METEOR15_EN["delta"],
-                     weights: tuple = METEOR15_EN["weights"]) -> float:
+                     weights: tuple = METEOR15_EN["weights"],
+                     synonyms=None, paraphrases=None) -> float:
     """Sentence-level METEOR-1.5 (single reference)."""
     s = _stats_15([t.lower() for t in hyp_tokens],
-                  [t.lower() for t in ref_tokens], delta, weights)
+                  [t.lower() for t in ref_tokens], delta, weights,
+                  synonyms, paraphrases)
     return _score_15(s, alpha, beta, gamma)

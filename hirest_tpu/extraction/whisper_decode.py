@@ -298,13 +298,13 @@ def decode_segment(adapter, enc, tok, options: DecodeOptions,
             # BeamSearchDecoder.finalize semantics: whenever fewer than
             # beam_size sequences finished, top up with the live beams
             # (tokens + EOT, no extra EOT logprob added), best-first.
+            # Exact parity (whisper eff383b): the assignment is
+            # unconditional — a live beam OVERWRITES an already-finished
+            # duplicate's logprob, and -inf beams are added too.
             for j in np.argsort(-sum_logprobs):
                 if len(finished) >= n:
                     break
-                if np.isfinite(sum_logprobs[j]):
-                    cand = tuple(seqs[j]) + (tok.EOT,)
-                    if cand not in finished:
-                        finished[cand] = sum_logprobs[j]
+                finished[tuple(seqs[j]) + (tok.EOT,)] = sum_logprobs[j]
         def score(item):
             cand, lp = item
             length = len(cand) - sample_begin - 1   # sampled tokens, no EOT

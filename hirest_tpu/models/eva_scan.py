@@ -29,7 +29,8 @@ from hirest_tpu.models.layers import (gelu, gelu_bf16_poly, merge_heads,
                                        split_heads)
 from hirest_tpu.ops.attention import (fused_attention, fused_attention_flat,
                                       fused_attention_qkv,
-                                      fused_attention_qkv2)
+                                      fused_attention_qkv2,
+                                      fused_attention_qkv3)
 
 
 def _ln(x, scale, bias, eps):
@@ -129,7 +130,14 @@ def stage_scanned_params(params: dict, cfg: EvaVisionConfig,
     where re-staging ~2 GB per bench config would dominate wall time.
 
     uint8_input folds pixel normalization into the patch embed
-    (fold_uint8_frontend): the returned consts expect raw 0..255 frames."""
+    (fold_uint8_frontend): the returned consts expect raw 0..255 frames.
+
+    Returns (consts, xs, meta): meta records the staging flags so
+    build_scanned_vision_apply can reject a mismatched reuse — an int8
+    mismatch fails loudly anyway (missing _wq keys), but a uint8_input
+    mismatch would silently apply unfolded patch weights to raw 0..255
+    frames and produce garbage embeddings. (2-tuples from older callers
+    are still accepted by build_scanned_vision_apply, unchecked.)"""
     p = params["params"] if "params" in params else params
     stacked = stack_block_params(params, cfg)
     patch_w, patch_b = p["patch_embed"]["kernel"], p["patch_embed"]["bias"]
@@ -153,7 +161,9 @@ def stage_scanned_params(params: dict, cfg: EvaVisionConfig,
             xs[name + "_wq"], xs[name + "_ws"] = q, s
     else:
         xs = {k: jnp.asarray(v, dtype) for k, v in stacked.items()}
-    return consts, xs
+    meta = {"int8": int8, "dtype": jnp.dtype(dtype).name,
+            "uint8_input": uint8_input}
+    return consts, xs, meta
 
 
 def build_scanned_vision_apply(params: dict,
@@ -164,6 +174,7 @@ def build_scanned_vision_apply(params: dict,
                                fast_gelu: bool = True,
                                xla_fences: bool = True,
                                attn_v2: bool = False,
+                               attn_v3: bool = False,
                                flat2d: bool = False,
                                fused_ln: bool = False,
                                uint8_input: bool = False,
@@ -194,10 +205,19 @@ def build_scanned_vision_apply(params: dict,
     # All weights travel as EXPLICIT jit arguments. Closing over them would
     # embed ~2 GB as HLO constants — compilation stalls for 10+ minutes
     # through the axon tunnel (the round-1 int8-path failure mode).
-    consts, xs = (staged if staged is not None
-                  else stage_scanned_params(params, cfg, int8=int8,
-                                            dtype=dtype,
-                                            uint8_input=uint8_input))
+    if staged is None:
+        staged = stage_scanned_params(params, cfg, int8=int8, dtype=dtype,
+                                      uint8_input=uint8_input)
+    if len(staged) == 3:
+        consts, xs, meta = staged
+        want = {"int8": int8, "dtype": jnp.dtype(dtype).name,
+                "uint8_input": uint8_input}
+        assert meta == want, (
+            f"staged params were staged with {meta} but the forward is "
+            f"being built with {want} — restage with matching flags "
+            f"(a uint8_input mismatch would silently corrupt embeddings)")
+    else:  # pre-meta 2-tuple staging: accepted, unchecked
+        consts, xs = staged
 
     def attn_core_split(q, k, v):
         out = fused_attention(split_heads(q, heads), split_heads(k, heads),
@@ -306,16 +326,19 @@ def build_scanned_vision_apply(params: dict,
                                 w["v_bias"]], -1)
 
     def block_flat(x, w):
-        qkv = _ln1_qkv(x, w, _bias3(w) if attn_v2 else None)
-        if attn_v2 and fq:
+        lean = attn_v2 or attn_v3  # lean kernels need pre-added biases
+        hg = 8 if attn_v3 else 0   # v3: heads per batched dot
+        qkv = _ln1_qkv(x, w, _bias3(w) if lean else None)
+        if lean and fq:
             a_qs = fused_attention_flat(qkv.astype(dtype), scale, heads,
                                         n_tokens, interpret=interpret,
-                                        quant_out=True)
+                                        quant_out=True, head_group=hg)
             return _out_mlp(x, w, a_qs=a_qs), None
-        if attn_v2:
+        if lean:
             att = fused_attention_flat(qkv.astype(dtype), scale, heads,
-                                       n_tokens, rows_per_cell=2,
-                                       interpret=interpret)
+                                       n_tokens,
+                                       rows_per_cell=1 if attn_v3 else 2,
+                                       interpret=interpret, head_group=hg)
         else:
             att = fused_attention_flat(qkv.astype(dtype), scale, heads,
                                        n_tokens, q_bias=w["q_bias"],
@@ -326,16 +349,21 @@ def build_scanned_vision_apply(params: dict,
     def block(x, w):
         if flat2d:
             return block_flat(x, w)
-        # attn_v2 pre-folds the q/v biases into the qkv projection's
+        # attn_v2/v3 pre-fold the q/v biases into the qkv projection's
         # epilogue (a free broadcast add in the dot fusion), so the lean
-        # kernel receives bias-complete rows
-        v2 = attn_v2 and packed
-        qkv = _ln1_qkv(x, w, _bias3(w) if v2 else None)
-        if v2 and fq:
-            a_qs = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
-                                        interpret=interpret, quant_out=True)
+        # kernels receive bias-complete rows
+        v3 = attn_v3 and (packed or interpret)
+        v2 = attn_v2 and packed and not v3
+        qkv = _ln1_qkv(x, w, _bias3(w) if (v2 or v3) else None)
+        if (v2 or v3) and fq:
+            fn = fused_attention_qkv3 if v3 else fused_attention_qkv2
+            a_qs = fn(qkv.astype(dtype), scale, heads,
+                      interpret=interpret, quant_out=True)
             return _out_mlp(x, w, a_qs=a_qs), None
-        if v2:
+        if v3:
+            att = fused_attention_qkv3(qkv.astype(dtype), scale, heads,
+                                       interpret=interpret)
+        elif v2:
             att = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
                                        interpret=interpret)
         elif packed and fq:

@@ -371,6 +371,144 @@ def fused_attention_qkv2(qkv_biased, scale: float, num_heads: int,
     )(qkv_biased)
 
 
+def _attn_heads_batched(row, heads: int, d: int, c: float, group: int,
+                        out_dtype):
+    """row [S, 3*H*D] (q/v biases pre-added) -> [S, H*D] attention output.
+
+    The v3 restructure of the per-head loop (BENCHLOG: 16 serialized
+    [S, d] head dots + per-head softmax ran ~0.8 TF/s effective): heads are
+    assembled into head-major [G, S, d] operands with VMEM concatenates
+    (cheap on-chip copies), then BOTH attention dots run as single batched
+    dot_generals and the softmax runs ONCE over the [G, S, S] score tensor
+    — one vector-op sequence over G*S sublanes instead of `heads`
+    serialized [S, S] passes, and G-batched MXU issue instead of
+    head-at-a-time. `group` bounds the live f32 score tensor
+    (G * S * S * 4 bytes) to fit the ~16 MB scoped-VMEM budget; softmax
+    normalizer is applied to the [G, S, d] output (d lanes, not S)."""
+    hd = heads * d
+    outs = []
+    for g0 in range(0, heads, group):
+        gh = min(group, heads - g0)
+
+        def hm(base):
+            return jnp.concatenate(
+                [row[:, base + (g0 + h) * d: base + (g0 + h + 1) * d][None]
+                 for h in range(gh)], 0)
+
+        q, k, v = hm(0), hm(hd), hm(2 * hd)
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2((s - m) * c).astype(row.dtype)
+        den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        outs.append(o / den)
+    o = jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]  # [H, S, d]
+    return jnp.concatenate([o[h] for h in range(heads)],
+                           -1).astype(out_dtype)
+
+
+def _attn_kernel_flat3(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
+                       s: int, rows: int, group: int):
+    """Flat-layout batched-heads attention: qkv_ref [rows*s, 3*H*D] with
+    biases pre-added (same contract as _attn_kernel_flat2)."""
+    c = scale * LOG2E
+    for r in range(rows):
+        o_ref[r * s:(r + 1) * s] = _attn_heads_batched(
+            qkv_ref[r * s:(r + 1) * s], heads, d, c, group, o_ref.dtype)
+
+
+def _attn_kernel_flat3_quant(qkv_ref, q_ref, s_ref, *, scale: float,
+                             heads: int, d: int, s: int, rows: int,
+                             group: int):
+    """_attn_kernel_flat3 with the per-row dynamic int8 epilogue (matching
+    eva_scan._dyn_quant_rows); no scratch needed — the batched inner
+    returns the full [S, H*D] row functionally."""
+    c = scale * LOG2E
+    for r in range(rows):
+        y = _attn_heads_batched(qkv_ref[r * s:(r + 1) * s], heads, d, c,
+                                group, jnp.float32)
+        sc = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+        q_ref[r * s:(r + 1) * s] = jnp.clip(jnp.round(y / sc), -127,
+                                            127).astype(jnp.int8)
+        s_ref[r * s:(r + 1) * s] = sc
+
+
+def _attn_kernel_qkv3(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
+                      rows: int, group: int):
+    """3D-layout batched-heads attention: qkv_ref [R, S, 3*H*D], biases
+    pre-added (same contract as _attn_kernel_qkv2)."""
+    c = scale * LOG2E
+    for r in range(rows):
+        o_ref[r] = _attn_heads_batched(qkv_ref[r], heads, d, c, group,
+                                       o_ref.dtype)
+
+
+def _attn_kernel_qkv3_quant(qkv_ref, q_ref, s_ref, *, scale: float,
+                            heads: int, d: int, rows: int, group: int):
+    c = scale * LOG2E
+    for r in range(rows):
+        y = _attn_heads_batched(qkv_ref[r], heads, d, c, group, jnp.float32)
+        sc = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+        q_ref[r] = jnp.clip(jnp.round(y / sc), -127, 127).astype(jnp.int8)
+        s_ref[r] = sc
+
+
+def fused_attention_qkv3(qkv_biased, scale: float, num_heads: int,
+                         rows_per_cell: int = 1, head_group: int = 8,
+                         interpret: bool = False, quant_out: bool = False):
+    """Batched-heads attention over [B, S, 3*H*D] fused qkv with biases
+    pre-added (v3 — see _attn_heads_batched for the restructure).
+
+    head_group trades VPU batching against VMEM: the live f32 score tensor
+    is [head_group, S, S] (EVA: 8*257*257*4 = 2.1 MB)."""
+    b, s, three_hd = qkv_biased.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    r = rows_per_cell if b % rows_per_cell == 0 else 1
+
+    vmem = pltpu.VMEM if pltpu else None
+    qkv_spec = pl.BlockSpec((r, s, three_hd), lambda i: (i, 0, 0),
+                            memory_space=vmem)
+    o_spec = pl.BlockSpec((r, s, hd), lambda i: (i, 0, 0), memory_space=vmem)
+    s_pad, d_pad = _round_up(s, 16), _round_up(d, 128)
+    cost = pl.CostEstimate(
+        flops=2 * b * num_heads * (s_pad * s_pad * d_pad * 2),
+        bytes_accessed=(b * s * three_hd + b * s * hd)
+        * qkv_biased.dtype.itemsize,
+        transcendentals=b * num_heads * s_pad * s_pad,
+    )
+    if quant_out:
+        s_spec = pl.BlockSpec((r, s, 1), lambda i: (i, 0, 0),
+                              memory_space=vmem)
+        kernel = functools.partial(_attn_kernel_qkv3_quant, scale=scale,
+                                   heads=num_heads, d=d, rows=r,
+                                   group=head_group)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // r,),
+            in_specs=[qkv_spec],
+            out_specs=[o_spec, s_spec],
+            out_shape=[jax.ShapeDtypeStruct((b, s, hd), jnp.int8),
+                       jax.ShapeDtypeStruct((b, s, 1), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qkv_biased)
+    kernel = functools.partial(_attn_kernel_qkv3, scale=scale,
+                               heads=num_heads, d=d, rows=r,
+                               group=head_group)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // r,),
+        in_specs=[qkv_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), qkv_biased.dtype),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(qkv_biased)
+
+
 def _attn_kernel_qkvfused_quant(qkv_ref, qb_ref, vb_ref, q_ref, s_ref,
                                 acc_ref, *, scale: float, heads: int, d: int):
     """fused-qkv attention with an int8 quantization epilogue: per-head
@@ -535,7 +673,8 @@ def _attn_kernel_flat2_quant(qkv_ref, q_ref, s_ref, acc_ref, *, scale: float,
 
 def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
                          q_bias=None, v_bias=None, rows_per_cell: int = 1,
-                         interpret: bool = False, quant_out: bool = False):
+                         interpret: bool = False, quant_out: bool = False,
+                         head_group: int = 0):
     """Self-attention over the FLAT trunk layout: qkv2d [B*S, 3*H*D] with
     per-batch token blocks contiguous along rows (x was reshaped from
     [B, S, C] — a bitcast).
@@ -548,7 +687,9 @@ def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
 
     With q_bias/v_bias given, biases are added in-kernel (classic softmax);
     with both None the caller must pre-add them (folded into the qkv dot
-    epilogue) and the lean exp2 kernel runs."""
+    epilogue) and the lean exp2 kernel runs. head_group > 0 selects the v3
+    batched-heads kernel (_attn_heads_batched) with that many heads per
+    batched dot — requires pre-added biases."""
     m, three_hd = qkv2d.shape
     hd = three_hd // 3
     d = hd // num_heads
@@ -568,12 +709,19 @@ def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
     )
     if q_bias is None and v_bias is None:
         if quant_out:
-            assert pltpu is not None, "quant_out needs pallas TPU scratch"
             s_spec = pl.BlockSpec((r * seq_len, 1), lambda i: (i, 0),
                                   memory_space=vmem)
-            kernel = functools.partial(_attn_kernel_flat2_quant, scale=scale,
-                                       heads=num_heads, d=d, s=seq_len,
-                                       rows=r)
+            if head_group:
+                kernel = functools.partial(
+                    _attn_kernel_flat3_quant, scale=scale, heads=num_heads,
+                    d=d, s=seq_len, rows=r, group=head_group)
+                scratch = []
+            else:
+                assert pltpu is not None, "quant_out needs pallas TPU scratch"
+                kernel = functools.partial(
+                    _attn_kernel_flat2_quant, scale=scale, heads=num_heads,
+                    d=d, s=seq_len, rows=r)
+                scratch = [pltpu.VMEM((r * seq_len, hd), jnp.float32)]
             return pl.pallas_call(
                 kernel,
                 grid=(b // r,),
@@ -581,12 +729,18 @@ def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
                 out_specs=[o_spec, s_spec],
                 out_shape=[jax.ShapeDtypeStruct((m, hd), jnp.int8),
                            jax.ShapeDtypeStruct((m, 1), jnp.float32)],
-                scratch_shapes=[pltpu.VMEM((r * seq_len, hd), jnp.float32)],
+                scratch_shapes=scratch,
                 interpret=interpret,
                 cost_estimate=cost,
             )(qkv2d)
-        kernel = functools.partial(_attn_kernel_flat2, scale=scale,
-                                   heads=num_heads, d=d, s=seq_len, rows=r)
+        if head_group:
+            kernel = functools.partial(_attn_kernel_flat3, scale=scale,
+                                       heads=num_heads, d=d, s=seq_len,
+                                       rows=r, group=head_group)
+        else:
+            kernel = functools.partial(_attn_kernel_flat2, scale=scale,
+                                       heads=num_heads, d=d, s=seq_len,
+                                       rows=r)
         return pl.pallas_call(
             kernel,
             grid=(b // r,),
@@ -597,6 +751,7 @@ def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
             cost_estimate=cost,
         )(qkv2d)
     assert not quant_out, "quant_out requires pre-added biases (flat2 path)"
+    assert not head_group, "head_group (v3) requires pre-added biases"
     assert q_bias is not None and v_bias is not None
     bias_spec = pl.BlockSpec((hd,), lambda i: (0,), memory_space=vmem)
     kernel = functools.partial(_attn_kernel_flat, scale=scale,

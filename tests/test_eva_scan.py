@@ -84,11 +84,11 @@ def test_scanned_flat2d_matches_3d():
               fast_gelu=False)
     ref = np.asarray(build_scanned_vision_apply(params, cfg, **kw)(imgs))
     assert not np.allclose(ref, 0)
-    for attn_v2 in (False, True):
+    for ver in ({}, {"attn_v2": True}, {"attn_v3": True}):
         out = np.asarray(build_scanned_vision_apply(
-            params, cfg, flat2d=True, attn_v2=attn_v2, **kw)(imgs))
+            params, cfg, flat2d=True, **ver, **kw)(imgs))
         np.testing.assert_allclose(ref, out, rtol=2e-5, atol=2e-5,
-                                   err_msg=f"attn_v2={attn_v2}")
+                                   err_msg=f"kernel={ver}")
     # int8 flat vs int8 3D (identical quantization points -> tight match)
     ref8 = np.asarray(build_scanned_vision_apply(
         params, cfg, int8=True, **kw)(imgs))
@@ -97,12 +97,12 @@ def test_scanned_flat2d_matches_3d():
     np.testing.assert_allclose(ref8, out8, rtol=2e-4, atol=2e-4)
     # fused-quant flat (ln_quant/act_quant 2D + flat attention quant
     # epilogue) vs the plain int8 3D reference
-    for attn_v2 in (False, True):
+    for ver in ({"attn_v2": False}, {"attn_v2": True}, {"attn_v3": True}):
         outfq = np.asarray(build_scanned_vision_apply(
             params, cfg, int8=True, fused_quant=True, flat2d=True,
-            attn_v2=attn_v2, **kw)(imgs))
+            **ver, **kw)(imgs))
         np.testing.assert_allclose(ref8, outfq, rtol=2e-3, atol=2e-3,
-                                   err_msg=f"fq attn_v2={attn_v2}")
+                                   err_msg=f"fq kernel={ver}")
 
 
 def test_scanned_fused_ln_matches():
@@ -125,10 +125,11 @@ def test_scanned_fused_ln_matches():
                                    err_msg=f"flat2d={flat}")
 
 
-def test_scanned_attn_v2_matches_v1():
-    """attn_v2 (lean fused-qkv kernel, biases pre-folded into the qkv
-    projection epilogue) must match the v1 kernel path numerically. Needs
-    a 128-aligned row (packed path), unlike TINY's 64-lane width."""
+def test_scanned_attn_v2_v3_match_v1():
+    """attn_v2/v3 (lean kernels, biases pre-folded into the qkv projection
+    epilogue; v3 additionally batches the per-head dots) must match the v1
+    kernel path numerically. Needs a 128-aligned row (packed path), unlike
+    TINY's 64-lane width."""
     cfg = EvaVisionConfig(image_size=28, layers=3, width=128, head_width=32,
                           mlp_ratio=4.0, patch_size=14, embed_dim=32)
     tower = EvaVisionTower(cfg, dtype=jnp.float32)
@@ -138,10 +139,12 @@ def test_scanned_attn_v2_matches_v1():
     kw = dict(use_pallas=True, interpret=True, dtype=jnp.float32,
               fast_gelu=False)
     a = np.asarray(build_scanned_vision_apply(params, cfg, **kw)(imgs))
-    b = np.asarray(build_scanned_vision_apply(params, cfg, attn_v2=True,
-                                              **kw)(imgs))
     assert not np.allclose(a, 0)
-    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+    for ver in ({"attn_v2": True}, {"attn_v3": True}):
+        b = np.asarray(build_scanned_vision_apply(params, cfg, **ver,
+                                                  **kw)(imgs))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"kernel={ver}")
 
 
 def test_uint8_frontend_matches_normalized(tiny_setup):
@@ -184,3 +187,28 @@ def test_uint8_frontend_encoder_wiring(tmp_path, monkeypatch):
     assert x.dtype == np.uint8 and x.shape == (224, 224, 3)
     out = np.asarray(enc(x[None]))
     assert out.shape == (1, tiny224.embed_dim) and np.all(np.isfinite(out))
+
+
+def test_staged_flag_mismatch_rejected(tiny_setup):
+    """Reusing a staged (consts, xs, meta) upload with different
+    int8/dtype/uint8_input flags must fail loudly — a uint8_input mismatch
+    would otherwise silently corrupt embeddings (ADVICE r3)."""
+    from hirest_tpu.models.eva_scan import stage_scanned_params
+
+    params, imgs, _ = tiny_setup
+    staged = stage_scanned_params(params, TINY, dtype=jnp.float32,
+                                  uint8_input=True)
+    with pytest.raises(AssertionError, match="uint8_input"):
+        build_scanned_vision_apply(params, TINY, use_pallas=False,
+                                   dtype=jnp.float32, staged=staged)
+    # matching flags pass (and consume the staged upload)
+    apply = build_scanned_vision_apply(params, TINY, use_pallas=False,
+                                       dtype=jnp.float32, uint8_input=True,
+                                       staged=staged)
+    u8 = np.zeros((1, 28, 28, 3), np.uint8)
+    assert np.all(np.isfinite(np.asarray(apply(jnp.asarray(u8)))))
+    # pre-meta 2-tuples stay accepted (unchecked)
+    apply2 = build_scanned_vision_apply(params, TINY, use_pallas=False,
+                                        dtype=jnp.float32, uint8_input=True,
+                                        staged=staged[:2])
+    assert np.all(np.isfinite(np.asarray(apply2(jnp.asarray(u8)))))

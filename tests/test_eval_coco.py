@@ -87,6 +87,39 @@ def test_evaluate_step_captions_end_to_end():
     assert "Entailment" not in res["all"]   # no entailment plugin provided
 
 
+def test_evaluate_step_captions_pinned_in_both_meteor_modes():
+    """End-to-end step-captioning scores pinned in BOTH METEOR modes so the
+    CLI default switch to 1.5 (eval/cli.py) stays regression-locked; the
+    modes are tuned differently and must NOT be interchangeable."""
+    gt = {
+        "v1.mp4": {"captions": [
+            {"sentence": "Add the salt and water", "start": 0, "end": 4},
+            {"sentence": "Mix the flour well in the bowl", "start": 4,
+             "end": 8},
+        ]},
+        "v2.mp4": {"captions": [
+            {"sentence": "Heat the pan on the stove", "start": 0, "end": 5},
+        ]},
+    }
+    pred = {
+        "v1.mp4": {"captions": [
+            {"sentence": "add salt and some water"},
+            {"sentence": "mix flour in a bowl"},
+        ]},
+        "v2.mp4": {"captions": [
+            {"sentence": "heat a pan"},
+        ]},
+    }
+    pinned = {"2005": 36.693541, "1.5": 29.264081}
+    for version, want in pinned.items():
+        res = evaluate_step_captions(
+            gt, pred,
+            coco_evaluator=coco.CocoEvaluator(meteor_version=version))
+        assert res["all"]["METEOR"] == pytest.approx(want, abs=1e-4), version
+        # non-METEOR metrics are version-independent
+        assert res["all"]["Bleu_1"] == pytest.approx(52.362492, abs=1e-4)
+
+
 def test_evaluate_step_captions_with_entailment_plugin():
     gt = {"v": {"captions": [{"sentence": "x", "start": 0, "end": 1}]}}
     pred = {"v": {"captions": [{"sentence": "x"}]}}

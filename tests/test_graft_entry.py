@@ -41,3 +41,6 @@ def test_dryrun_multichip_self_provisions_from_one_device():
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "DRIVER_CALL_OK" in proc.stdout
     assert "dryrun_multichip(8) OK" in proc.stdout
+    # the 8-device sharded step must numerically match a 1-device run
+    # (VERDICT r3 #5) — _dryrun_impl asserts it and prints this line
+    assert "parity vs 1-device" in proc.stdout

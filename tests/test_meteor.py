@@ -197,3 +197,76 @@ def test_coco_evaluator_reports_meteor():
 
     ev2 = coco.CocoEvaluator(coco_types=("SPICE",), spice_fn=lambda c, r: 0.25)
     assert ev2.run_evaluation(["x"], ["x"]) == {"SPICE": 0.25}
+
+
+def test_meteor_rejects_untokenized_strings():
+    """A plain string where a token list is expected used to score a silent
+    0.0 (each sentence counted as one 'token'); both corpus entry points
+    must raise TypeError instead (VERDICT r3 weak #5)."""
+    from hirest_tpu.eval.meteor import meteor, meteor_15
+
+    good_c, good_r = [["add", "salt"]], [[["add", "salt"]]]
+    assert meteor(good_c, good_r) > 0.0
+    with pytest.raises(TypeError):
+        meteor(["add salt"], good_r)          # str candidate
+    with pytest.raises(TypeError):
+        meteor(good_c, ["add salt"])          # str reference group
+    with pytest.raises(TypeError):
+        meteor(good_c, [["add salt"]])        # str reference
+    with pytest.raises(TypeError):
+        meteor_15(["add salt"], good_r)
+    with pytest.raises(TypeError):
+        meteor(["add salt"], good_r, version="1.5")  # guard through dispatch
+
+
+def test_meteor15_synonym_stage_injectable():
+    """Module-2 synonym matching via an injected synset lookup (the jar
+    uses WordNet, not shipped in this image): synonym pairs match at
+    weight 0.8 after exact+stem stages."""
+    from hirest_tpu.eval.meteor import align_modules_full, meteor_15
+
+    syn = {"car": {1}, "automobile": {1}, "quick": {2}, "fast": {2}}
+    lk = lambda w: syn.get(w, set())
+    cand = [["the", "automobile", "is", "quick"]]
+    refs = [[["the", "car", "is", "fast"]]]
+    base = meteor_15(cand, refs)
+    with_syn = meteor_15(cand, refs, synonyms=lk)
+    assert with_syn > base
+    assert with_syn == pytest.approx(0.4634922755398485, abs=1e-12)
+    m = align_modules_full(cand[0], refs[0][0], synonyms=lk)
+    assert [(hs, rs, mod) for hs, rs, mod in m] == [
+        ((0,), (0,), 0), ((1,), (1,), 2), ((2,), (2,), 0), ((3,), (3,), 2)]
+
+
+def test_meteor15_paraphrase_stage_injectable():
+    """Module-3 paraphrase matching via an injected phrase-pair table (the
+    jar's paraphrase-en.gz is not redistributable): unequal-length spans
+    match as one block; fragmentation m is the mean of covered words."""
+    from hirest_tpu.eval.meteor import (_stats_15, align_modules_full,
+                                        meteor_15)
+
+    tab = {(("right", "away"), ("immediately",))}
+    cand = [["do", "it", "right", "away"]]
+    refs = [[["do", "it", "immediately"]]]
+    base = meteor_15(cand, refs)
+    with_para = meteor_15(cand, refs, paraphrases=tab)
+    assert with_para > base
+    assert with_para == pytest.approx(0.3999211891916309, abs=1e-12)
+    m = align_modules_full(cand[0], refs[0][0], paraphrases=tab)
+    assert m == [((0,), (0,), 0), ((1,), (1,), 0), ((2, 3), (2,), 3)]
+    s = _stats_15(cand[0], refs[0][0], 0.75, (1.0, 0.6, 0.8, 0.6),
+                  None, tab)
+    assert s["matches"] == pytest.approx(3.5)  # (4 hyp + 3 ref words) / 2
+    assert s["chunks"] == 1  # contiguous on both sides
+    # a callable table works too (e.g. a trie-backed lookup)
+    fn = lambda a, b: (a, b) in tab
+    assert meteor_15(cand, refs, paraphrases=fn) == pytest.approx(with_para)
+
+
+def test_meteor15_plugin_stages_off_by_default():
+    """Without injected data sources the 1.5 score is exact+stem only —
+    the pinned-corpus scores must not move."""
+    from hirest_tpu.eval.meteor import align_modules_full
+
+    m = align_modules_full(["the", "automobile"], ["the", "car"])
+    assert m == [((0,), (0,), 0)]

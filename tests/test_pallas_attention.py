@@ -222,3 +222,45 @@ def test_flat_kernels_match_3d_at_eva_dims():
         (qkv + bias3).reshape(B * S, 3 * H * D), scale, H, S,
         rows_per_cell=2, interpret=True)).reshape(B, S, H * D)
     np.testing.assert_allclose(ref2, flat2, atol=1e-6)
+
+
+def test_batched_heads_kernels_match_at_eva_dims():
+    """v3 (batched per-head dots, _attn_heads_batched) must match the v1
+    fused-qkv kernel at the real EVA-g dims, in the 3D and flat layouts,
+    for even and ragged head groupings, and through the quant epilogue."""
+    from hirest_tpu.ops.attention import (fused_attention_flat,
+                                          fused_attention_qkv,
+                                          fused_attention_qkv3)
+
+    rng = np.random.default_rng(3)
+    B, S, H, D = 2, 257, 16, 88
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * H * D)), jnp.float32) * 0.2
+    qb = jnp.asarray(rng.normal(size=(H * D,)), jnp.float32) * 0.1
+    vb = jnp.asarray(rng.normal(size=(H * D,)), jnp.float32) * 0.1
+    scale = D ** -0.5
+    bias3 = jnp.concatenate([qb, jnp.zeros_like(qb), vb], -1)
+
+    ref = np.asarray(fused_attention_qkv(qkv, qb, vb, scale, H,
+                                         interpret=True))
+    for group in (8, 16, 5):  # even, single-group, ragged (16 = 3*5 + 1)
+        v3 = np.asarray(fused_attention_qkv3(qkv + bias3, scale, H,
+                                             head_group=group,
+                                             interpret=True))
+        np.testing.assert_allclose(ref, v3, atol=1e-6,
+                                   err_msg=f"group={group}")
+    flat3 = np.asarray(fused_attention_flat(
+        (qkv + bias3).reshape(B * S, 3 * H * D), scale, H, S, head_group=8,
+        interpret=True)).reshape(B, S, H * D)
+    np.testing.assert_allclose(ref, flat3, atol=1e-6)
+
+    # quant epilogues: codes * scales reconstruct the reference output
+    q3, s3 = fused_attention_qkv3(qkv + bias3, scale, H, head_group=8,
+                                  interpret=True, quant_out=True)
+    np.testing.assert_allclose(np.asarray(q3) * np.asarray(s3), ref,
+                               atol=2e-2)
+    qf, sf = fused_attention_flat(
+        (qkv + bias3).reshape(B * S, 3 * H * D), scale, H, S, head_group=8,
+        interpret=True, quant_out=True)
+    np.testing.assert_allclose(
+        (np.asarray(qf) * np.asarray(sf)).reshape(B, S, H * D), ref,
+        atol=2e-2)

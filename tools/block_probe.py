@@ -107,14 +107,17 @@ def build(variant: str, int8: bool, batch: int):
 
     def block_fq(x, w):
         h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], EPS)
-        if "attn2" in variant:
-            from hirest_tpu.ops.attention import fused_attention_qkv2
+        if "attn2" in variant or "attn3" in variant:
+            from hirest_tpu.ops.attention import (fused_attention_qkv2,
+                                                  fused_attention_qkv3)
 
             bias3 = jnp.concatenate([w["q_bias"],
                                      jnp.zeros_like(w["q_bias"]),
                                      w["v_bias"]], -1)
             qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], bias3, dtype)
-            a_q, a_s = fused_attention_qkv2(qkv, SCALE, HEADS, quant_out=True)
+            fn = (fused_attention_qkv3 if "attn3" in variant
+                  else fused_attention_qkv2)
+            a_q, a_s = fn(qkv, SCALE, HEADS, quant_out=True)
         else:
             qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], None, dtype)
             a_q, a_s = fused_attention_qkv(qkv, w["q_bias"], w["v_bias"],
@@ -132,7 +135,8 @@ def build(variant: str, int8: bool, batch: int):
         return x, None
 
     def block_attn2(x, w):
-        from hirest_tpu.ops.attention import fused_attention_qkv2
+        from hirest_tpu.ops.attention import (fused_attention_qkv2,
+                                              fused_attention_qkv3)
 
         h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
         bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
@@ -142,7 +146,9 @@ def build(variant: str, int8: bool, batch: int):
             qkv = _int8_mm(h_q, h_s, w["qkv_wq"], w["qkv_ws"], bias3, dtype)
         else:
             qkv = (h @ w["qkv_w"] + bias3).astype(dtype)
-        att = fused_attention_qkv2(qkv, SCALE, HEADS)
+        att = (fused_attention_qkv3(qkv, SCALE, HEADS)
+               if "attn3" in variant else fused_attention_qkv2(qkv, SCALE,
+                                                               HEADS))
         x = x + mm(att, w, "out")
         if fences:
             x = jax.lax.optimization_barrier(x)
@@ -170,7 +176,7 @@ def build(variant: str, int8: bool, batch: int):
         from hirest_tpu.ops.attention import fused_attention_flat
 
         h = ln_site(x, w["norm1_scale"], w["norm1_bias"])
-        if "attn2" in variant:
+        if "attn2" in variant or "attn3" in variant:
             bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
                                      w["v_bias"]], -1)
             if int8:
@@ -179,7 +185,10 @@ def build(variant: str, int8: bool, batch: int):
                                dtype)
             else:
                 qkv = (h @ w["qkv_w"] + bias3).astype(dtype)
-            att = fused_attention_flat(qkv, SCALE, HEADS, S, rows_per_cell=2)
+            hg = 8 if "attn3" in variant else 0
+            att = fused_attention_flat(qkv, SCALE, HEADS, S,
+                                       rows_per_cell=1 if hg else 2,
+                                       head_group=hg)
         else:
             qkv = project_qkv(h, w).astype(dtype)
             att = fused_attention_flat(qkv, SCALE, HEADS, S,
@@ -202,7 +211,7 @@ def build(variant: str, int8: bool, batch: int):
             return block_flat(x, w)
         if fq:
             return block_fq(x, w)
-        if "attn2" in variant:
+        if "attn2" in variant or "attn3" in variant:
             return block_attn2(x, w)
         h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
         if variant == "barrier-ln" or fences:

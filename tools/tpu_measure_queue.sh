@@ -40,15 +40,16 @@ run() {
 # 0. production bench FIRST (the headline number; probes after)
 run bench_ladder python bench.py --batch=128 --no-cache
 
-# 1. v2 attention kernel + flat trunk, bf16 (device-ms via trace);
-#    lnk = one-pass pallas LayerNorm at both LN sites (ops/quant.ln_bf16)
+# 1. v2/v3 attention kernels + flat trunk, bf16 (device-ms via trace);
+#    lnk = one-pass pallas LayerNorm at both LN sites (ops/quant.ln_bf16);
+#    attn3 = batched-heads kernel (VERDICT r3 #4 per-head loop restructure)
 run attn2_bf16 python tools/block_probe.py \
-  --variants attn2-fastgelu-fences,flat-fastgelu-fences,flat-attn2-fastgelu-fences,flat-attn2-lnk-fastgelu-fences \
+  --variants attn2-fastgelu-fences,flat-fastgelu-fences,flat-attn2-fastgelu-fences,flat-attn2-lnk-fastgelu-fences,attn3-fastgelu-fences,flat-attn3-fastgelu-fences,flat-attn3-lnk-fastgelu-fences \
   --iters 2 --hlodir "$OUT/hlo"
 
-# 2. int8: current dyn-quant vs fused-quant kernels (+ v2 attention, flat)
+# 2. int8: current dyn-quant vs fused-quant kernels (+ v2/v3 attention, flat)
 run int8_pair python tools/block_probe.py --int8 \
-  --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu,flat-attn2-fastgelu-fences \
+  --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu,flat-attn2-fastgelu-fences,fq-attn3-fastgelu,flat-attn3-fastgelu-fences \
   --iters 2 --hlodir "$OUT/hlo"
 
 # 2b. padded heads (88 -> 128): +45% attention FLOPs but fully MXU-aligned
