@@ -185,7 +185,9 @@ def build(variant: str, int8: bool, batch: int):
                                dtype)
             else:
                 qkv = (h @ w["qkv_w"] + bias3).astype(dtype)
-            hg = 8 if "attn3" in variant else 0
+            # hg16: all 16 heads in ONE batched dot (f32 score tensor
+            # 4.2 MB — still inside the block-set budget at rows=1)
+            hg = (16 if "hg16" in variant else 8) if "attn3" in variant else 0
             att = fused_attention_flat(qkv, SCALE, HEADS, S,
                                        rows_per_cell=1 if hg else 2,
                                        head_group=hg)

@@ -44,7 +44,7 @@ run bench_ladder python bench.py --batch=128 --no-cache
 #    lnk = one-pass pallas LayerNorm at both LN sites (ops/quant.ln_bf16);
 #    attn3 = batched-heads kernel (VERDICT r3 #4 per-head loop restructure)
 run attn2_bf16 python tools/block_probe.py \
-  --variants attn2-fastgelu-fences,flat-fastgelu-fences,flat-attn2-fastgelu-fences,flat-attn2-lnk-fastgelu-fences,attn3-fastgelu-fences,flat-attn3-fastgelu-fences,flat-attn3-lnk-fastgelu-fences \
+  --variants attn2-fastgelu-fences,flat-fastgelu-fences,flat-attn2-fastgelu-fences,flat-attn2-lnk-fastgelu-fences,attn3-fastgelu-fences,flat-attn3-fastgelu-fences,flat-attn3-lnk-fastgelu-fences,flat-attn3-hg16-fastgelu-fences \
   --iters 2 --hlodir "$OUT/hlo"
 
 # 2. int8: current dyn-quant vs fused-quant kernels (+ v2/v3 attention, flat)
