@@ -186,9 +186,10 @@ def build_scanned_vision_apply(params: dict,
     shape-init), optionally already head-padded (pad_vision_head_params).
     int8: quantize qkv/out/fc1/fc2 projections (weights per-channel at build
     time, activations per-row dynamically).
-    staged: optional (consts, xs) from stage_scanned_params to reuse an
-    existing device upload across kernel configurations (must have been
-    staged with the same uint8_input).
+    staged: optional (consts, xs, meta) from stage_scanned_params to reuse
+    an existing device upload across kernel configurations; meta must match
+    this build's int8/dtype/uint8_input flags (asserted). Legacy 2-tuples
+    are accepted unchecked.
     uint8_input: apply() takes RAW uint8 0..255 frames; pixel normalization
     is folded into the patch embed (fold_uint8_frontend).
     """

@@ -61,15 +61,33 @@ def host_stacked(rng):
     }
 
 
-def build(variant: str, int8: bool, batch: int):
+def build(variant: str, int8: bool, batch: int, interpret: bool = False):
+    import functools as ft
+
     import jax
     import jax.numpy as jnp
 
     from hirest_tpu.models.eva_scan import (_dyn_quant_rows, _int8_mm, _ln,
                                             _quantize_stacked)
     from hirest_tpu.models.layers import gelu
-    from hirest_tpu.ops.attention import (fused_attention_packed,
-                                          fused_attention_qkv)
+    from hirest_tpu.ops import attention as A
+    from hirest_tpu.ops import quant as Q
+
+    # interpret=True (--cpu) runs every Pallas kernel in interpret mode so
+    # variant plumbing can be pre-verified off the tunnel
+    fused_attention_packed = ft.partial(A.fused_attention_packed,
+                                        interpret=interpret)
+    fused_attention_qkv = ft.partial(A.fused_attention_qkv,
+                                     interpret=interpret)
+    fused_attention_qkv2 = ft.partial(A.fused_attention_qkv2,
+                                      interpret=interpret)
+    fused_attention_qkv3 = ft.partial(A.fused_attention_qkv3,
+                                      interpret=interpret)
+    fused_attention_flat = ft.partial(A.fused_attention_flat,
+                                      interpret=interpret)
+    ln_quant = ft.partial(Q.ln_quant, interpret=interpret)
+    act_quant = ft.partial(Q.act_quant, interpret=interpret)
+    ln_bf16 = ft.partial(Q.ln_bf16, interpret=interpret)
 
     rng = np.random.default_rng(0)
     stacked = host_stacked(rng)
@@ -103,14 +121,10 @@ def build(variant: str, int8: bool, batch: int):
     act = gelu_bf16_poly if "fastgelu" in variant else gelu
     if fq:
         assert int8, "fq variants require --int8"
-        from hirest_tpu.ops.quant import act_quant, ln_quant
 
     def block_fq(x, w):
         h_q, h_s = ln_quant(x, w["norm1_scale"], w["norm1_bias"], EPS)
         if "attn2" in variant or "attn3" in variant:
-            from hirest_tpu.ops.attention import (fused_attention_qkv2,
-                                                  fused_attention_qkv3)
-
             bias3 = jnp.concatenate([w["q_bias"],
                                      jnp.zeros_like(w["q_bias"]),
                                      w["v_bias"]], -1)
@@ -135,9 +149,6 @@ def build(variant: str, int8: bool, batch: int):
         return x, None
 
     def block_attn2(x, w):
-        from hirest_tpu.ops.attention import (fused_attention_qkv2,
-                                              fused_attention_qkv3)
-
         h = _ln(x, w["norm1_scale"], w["norm1_bias"], EPS)
         bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
                                  w["v_bias"]], -1)
@@ -164,7 +175,6 @@ def build(variant: str, int8: bool, batch: int):
     def ln_site(x, scale_, bias_):
         """One LN site: pallas one-pass kernel ('lnk') or XLA LN, fenced."""
         if lnk and not int8:
-            from hirest_tpu.ops.quant import ln_bf16
             return ln_bf16(x, scale_, bias_, EPS,
                            row_block=S if x.ndim == 2 else None)
         h = _ln(x, scale_, bias_, EPS)
@@ -172,9 +182,7 @@ def build(variant: str, int8: bool, batch: int):
 
     def block_flat(x, w):
         """Flat [B*S, C] trunk (2D dots, no 3D layout negotiation); composes
-        with 'attn2' (pre-added biases + exp2 kernel), 'lnk' and int8."""
-        from hirest_tpu.ops.attention import fused_attention_flat
-
+        with 'attn2'/'attn3' (pre-added biases + lean kernels), 'lnk', int8."""
         h = ln_site(x, w["norm1_scale"], w["norm1_bias"])
         if "attn2" in variant or "attn3" in variant:
             bias3 = jnp.concatenate([w["q_bias"], jnp.zeros_like(w["q_bias"]),
@@ -325,7 +333,8 @@ def main():
     for variant in args.variants.split(","):
         tag = variant + ("-int8" if args.int8 else "")
         try:
-            forward, x, xs = build(variant, args.int8, args.batch)
+            forward, x, xs = build(variant, args.int8, args.batch,
+                                   interpret=args.cpu)
             t0 = time.perf_counter()
             lowered = jax.jit(forward).lower(x, xs)
             compiled = lowered.compile()
