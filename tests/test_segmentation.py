@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from hirest_tpu.infer.segmentation import iterative_segmentation
 
@@ -66,6 +67,7 @@ def test_dedup_and_sorted():
     assert out[0] == sorted(set(out[0]))
 
 
+@pytest.mark.slow
 def test_scan_variant_matches_host_loop():
     """The fused lax.scan decoder must produce the same boundaries as the
     host loop on a real (random) scoring model."""
