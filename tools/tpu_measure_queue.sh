@@ -57,6 +57,12 @@ run int8_pair python tools/block_probe.py --int8 \
 run padded_flat python bench.py --padded-heads --bf16 --flat2d --attn-v2 \
   --batch=128 --budget=300 --no-cache
 
+# 2c. padded heads + v3: with d=128 the batched-heads VMEM assembly slices
+#     ([S, d] per head) are lane-aligned — the v3 concat cost analysis says
+#     this composition is the likely bf16 winner (smoke-verified on CPU)
+run padded_v3 python bench.py --padded-heads --bf16 --flat2d --attn-v3 \
+  --batch=128 --budget=300 --no-cache
+
 # 3. secondary tracked metrics (VERDICT r2 #7): p50 step-caption latency
 #    and retrieval queries/sec, refreshed post-kernel-changes
 run latency python bench.py --latency
