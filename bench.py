@@ -603,7 +603,10 @@ def main():
         "config": best_cfg,
     }
     print(json.dumps(result))
-    if not smoke and best > 0:
+    # --experiment: a forced single-config probe run (e.g. padded-heads)
+    # must never overwrite the headline last-known-good recorded by the
+    # full ladder — only production-ladder runs update the outage fallback
+    if not smoke and best > 0 and "--experiment" not in sys.argv:
         _record_last_good(result)
 
 

@@ -248,11 +248,12 @@ def _stage_match_phrases(hyp, ref, table, max_len=4):
     hit = table if callable(table) else (lambda a, b: (a, b) in table)
     matches = []
     used_h, used_r = set(), set()
+    ref_spans = list(_spans(ref, max_len))
     for a, hl in _spans(hyp, max_len):
         if any(a + k in used_h for k in range(hl)):
             continue
         h_words = tuple(hyp[a + k][1] for k in range(hl))
-        for b, rl in _spans(ref, max_len):
+        for b, rl in ref_spans:
             if any(b + k in used_r for k in range(rl)):
                 continue
             if hit(h_words, tuple(ref[b + k][1] for k in range(rl))):
@@ -356,19 +357,33 @@ def _check_tokenized(candidates, references):
 
 
 def meteor(candidates: list[list[str]], references: list[list[list[str]]],
-           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
+           alpha: float = None, beta: float = None, gamma: float = None,
            version: str = "2005", **kw) -> float:
     """Corpus METEOR.
 
     version="2005" (default): per-sentence max over references, arithmetic
-    mean, original-paper parameters — nltk-parity (tests/test_meteor.py).
+    mean, original-paper parameters (alpha=0.9, beta=3.0, gamma=0.5) —
+    nltk-parity (tests/test_meteor.py).
 
     version="1.5": the METEOR-1.5 English scoring model (see meteor_15).
-    Parameters alpha/beta/gamma are NOT shared between versions; 1.5 uses
-    its own tuned defaults unless explicitly overridden via kw.
+    alpha/beta/gamma are version-specific: left unset, each version uses
+    its own tuned defaults; set explicitly, they are forwarded to the
+    selected version. 1.5-only options (delta/weights/synonyms/
+    paraphrases) are rejected under version="2005" rather than silently
+    dropped.
     """
     if version == "1.5":
+        kw.update({k: v for k, v in
+                   (("alpha", alpha), ("beta", beta), ("gamma", gamma))
+                   if v is not None})
         return meteor_15(candidates, references, **kw)
+    if kw:
+        raise TypeError(
+            f"meteor(version={version!r}) got METEOR-1.5-only options "
+            f"{sorted(kw)} — pass version='1.5' to use them")
+    alpha = 0.9 if alpha is None else alpha
+    beta = 3.0 if beta is None else beta
+    gamma = 0.5 if gamma is None else gamma
     _check_tokenized(candidates, references)
     assert len(candidates) == len(references)
     if not candidates:

@@ -301,7 +301,9 @@ def decode_segment(adapter, enc, tok, options: DecodeOptions,
             # Exact parity (whisper eff383b): the assignment is
             # unconditional — a live beam OVERWRITES an already-finished
             # duplicate's logprob, and -inf beams are added too.
-            for j in np.argsort(-sum_logprobs):
+            # sorted exactly as the reference (np.argsort ascending,
+            # reversed): on tied logprobs the fill ORDER matches too
+            for j in list(np.argsort(sum_logprobs))[::-1]:
                 if len(finished) >= n:
                     break
                 finished[tuple(seqs[j]) + (tok.EOT,)] = sum_logprobs[j]

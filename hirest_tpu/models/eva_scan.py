@@ -188,8 +188,7 @@ def build_scanned_vision_apply(params: dict,
     time, activations per-row dynamically).
     staged: optional (consts, xs, meta) from stage_scanned_params to reuse
     an existing device upload across kernel configurations; meta must match
-    this build's int8/dtype/uint8_input flags (asserted). Legacy 2-tuples
-    are accepted unchecked.
+    this build's int8/dtype/uint8_input flags (asserted).
     uint8_input: apply() takes RAW uint8 0..255 frames; pixel normalization
     is folded into the patch embed (fold_uint8_frontend).
     """
@@ -209,16 +208,13 @@ def build_scanned_vision_apply(params: dict,
     if staged is None:
         staged = stage_scanned_params(params, cfg, int8=int8, dtype=dtype,
                                       uint8_input=uint8_input)
-    if len(staged) == 3:
-        consts, xs, meta = staged
-        want = {"int8": int8, "dtype": jnp.dtype(dtype).name,
-                "uint8_input": uint8_input}
-        assert meta == want, (
-            f"staged params were staged with {meta} but the forward is "
-            f"being built with {want} — restage with matching flags "
-            f"(a uint8_input mismatch would silently corrupt embeddings)")
-    else:  # pre-meta 2-tuple staging: accepted, unchecked
-        consts, xs = staged
+    consts, xs, meta = staged
+    want = {"int8": int8, "dtype": jnp.dtype(dtype).name,
+            "uint8_input": uint8_input}
+    assert meta == want, (
+        f"staged params were staged with {meta} but the forward is "
+        f"being built with {want} — restage with matching flags "
+        f"(a uint8_input mismatch would silently corrupt embeddings)")
 
     def attn_core_split(q, k, v):
         out = fused_attention(split_heads(q, heads), split_heads(k, heads),
@@ -235,7 +231,7 @@ def build_scanned_vision_apply(params: dict,
     # kernels (ops/quant.ln_bf16) instead of XLA's reduce+normalize fusion
     # (two reads of the activation). The pallas call is itself a fusion
     # boundary, so it subsumes the LN-output fence at those sites.
-    fln = fused_ln and not int8 and (use_pallas or interpret)
+    fln = fused_ln and not int8 and use_pallas
     if fln:
         from hirest_tpu.ops.quant import ln_bf16
 
@@ -263,7 +259,7 @@ def build_scanned_vision_apply(params: dict,
     # forced {2,1,0} (reshapes at the jit boundary are bitcasts).
     n_tokens = grid * grid + 1
     if flat2d:
-        assert packed or interpret, "flat2d needs the pallas flat kernel"
+        assert packed, "flat2d needs the pallas flat kernel"
 
     # The 3D and flat blocks share everything except the attention dispatch;
     # the two halves below are the single source of fence/quantization
@@ -353,7 +349,10 @@ def build_scanned_vision_apply(params: dict,
         # attn_v2/v3 pre-fold the q/v biases into the qkv projection's
         # epilogue (a free broadcast add in the dot fusion), so the lean
         # kernels receive bias-complete rows
-        v3 = attn_v3 and (packed or interpret)
+        # interpret only changes HOW kernels run (interpret vs compiled),
+        # never WHICH path is selected — a CPU interpret smoke must
+        # exercise exactly the dispatch the chip will take
+        v3 = attn_v3 and packed
         v2 = attn_v2 and packed and not v3
         qkv = _ln1_qkv(x, w, _bias3(w) if (v2 or v3) else None)
         if (v2 or v3) and fq:

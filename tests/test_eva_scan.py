@@ -207,8 +207,9 @@ def test_staged_flag_mismatch_rejected(tiny_setup):
                                        staged=staged)
     u8 = np.zeros((1, 28, 28, 3), np.uint8)
     assert np.all(np.isfinite(np.asarray(apply(jnp.asarray(u8)))))
-    # pre-meta 2-tuples stay accepted (unchecked)
-    apply2 = build_scanned_vision_apply(params, TINY, use_pallas=False,
-                                        dtype=jnp.float32, uint8_input=True,
-                                        staged=staged[:2])
-    assert np.all(np.isfinite(np.asarray(apply2(jnp.asarray(u8)))))
+    # meta-less 2-tuples are rejected — the guard cannot be bypassed by
+    # slicing the staged tuple
+    with pytest.raises(ValueError):
+        build_scanned_vision_apply(params, TINY, use_pallas=False,
+                                   dtype=jnp.float32, uint8_input=True,
+                                   staged=staged[:2])

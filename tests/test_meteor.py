@@ -219,6 +219,23 @@ def test_meteor_rejects_untokenized_strings():
         meteor(["add salt"], good_r, version="1.5")  # guard through dispatch
 
 
+def test_meteor_version_kwargs_not_silently_dropped():
+    """1.5-only options under version='2005' must raise, and explicit
+    alpha/beta/gamma must reach the selected version's scorer instead of
+    binding to the wrapper's other-version defaults."""
+    from hirest_tpu.eval.meteor import METEOR15_EN, meteor, meteor_15
+
+    c, r = [["add", "the", "salt"]], [[["add", "salt"]]]
+    with pytest.raises(TypeError, match="1.5"):
+        meteor(c, r, synonyms=lambda w: set())        # 2005 + 1.5-only kw
+    default15 = meteor(c, r, version="1.5")
+    assert default15 == pytest.approx(meteor_15(c, r), abs=1e-12)
+    moved = meteor(c, r, version="1.5", alpha=0.1)
+    assert moved == pytest.approx(meteor_15(c, r, alpha=0.1), abs=1e-12)
+    assert moved != pytest.approx(default15, abs=1e-9)
+    assert METEOR15_EN["alpha"] != 0.1  # the override actually overrides
+
+
 def test_meteor15_synonym_stage_injectable():
     """Module-2 synonym matching via an injected synset lookup (the jar
     uses WordNet, not shipped in this image): synonym pairs match at

@@ -54,14 +54,16 @@ run int8_pair python tools/block_probe.py --int8 \
 
 # 2b. padded heads (88 -> 128): +45% attention FLOPs but fully MXU-aligned
 #     per-head dots in the flat kernel — one config, settles the tradeoff
+#     (--experiment: forced-config probes must not overwrite the ladder's
+#     headline number in BENCH_LAST_GOOD.json)
 run padded_flat python bench.py --padded-heads --bf16 --flat2d --attn-v2 \
-  --batch=128 --budget=300 --no-cache
+  --batch=128 --budget=300 --no-cache --experiment
 
 # 2c. padded heads + v3: with d=128 the batched-heads VMEM assembly slices
 #     ([S, d] per head) are lane-aligned — the v3 concat cost analysis says
 #     this composition is the likely bf16 winner (smoke-verified on CPU)
 run padded_v3 python bench.py --padded-heads --bf16 --flat2d --attn-v3 \
-  --batch=128 --budget=300 --no-cache
+  --batch=128 --budget=300 --no-cache --experiment
 
 # 3. secondary tracked metrics (VERDICT r2 #7): p50 step-caption latency
 #    and retrieval queries/sec, refreshed post-kernel-changes
