@@ -28,11 +28,13 @@ fi
 trap 'rm -f "$LOCK"' EXIT
 export TPU_QUEUE_OWNER=1  # our own bench step must not wait on our lock
 
+FAILED=0
 run() {
   name=$1; shift
   echo "=== $name: $* (start $(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
   "$@" > "$OUT/$name.log" 2>&1
   rc=$?
+  [ $rc -ne 0 ] && FAILED=1
   echo "=== $name done rc=$rc ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
   grep -v Warning "$OUT/$name.log" | tail -8
 }
@@ -77,4 +79,8 @@ if [ -s BENCH_LAST_GOOD.json ]; then
   git commit -m "bench: record on-chip last-known-good results" \
     --only BENCH_LAST_GOOD.json >> "$OUT/queue.log" 2>&1 || true
 fi
+
+# nonzero when any step failed (e.g. the tunnel flapped mid-queue) so the
+# watcher can re-arm and retry the whole pass; steps are idempotent
+exit $FAILED
 

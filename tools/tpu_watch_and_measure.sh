@@ -32,8 +32,19 @@ EOF
   if [ $rc -eq 0 ]; then
     echo "tunnel healthy; running measurement queue $(date +%H:%M:%S)" >> "$LOG"
     bash tools/tpu_measure_queue.sh "$OUT" >> "$LOG" 2>&1
-    echo "queue complete $(date +%H:%M:%S)" >> "$LOG"
-    exit 0
+    qrc=$?
+    echo "queue complete rc=$qrc $(date +%H:%M:%S)" >> "$LOG"
+    if [ $qrc -eq 0 ]; then
+      exit 0
+    fi
+    # a step failed (tunnel flap mid-queue?): re-arm and retry the whole
+    # idempotent pass, bounded so a real (non-tunnel) bug can't loop forever
+    PASSES=$((${PASSES:-0} + 1))
+    if [ "$PASSES" -ge 3 ]; then
+      echo "queue failed $PASSES passes; giving up $(date +%H:%M:%S)" >> "$LOG"
+      exit 1
+    fi
+    echo "queue had failed steps; re-arming (pass $PASSES) $(date +%H:%M:%S)" >> "$LOG"
   fi
   sleep 300
 done
