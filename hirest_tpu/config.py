@@ -145,7 +145,11 @@ class HirestConfig:
     optim: str = "adamw"
     lr: float = 1e-5
     fp16: bool = False                 # on TPU this selects bf16 compute
-    weight_decay: float = 0.0
+    # the reference's --weight_decay flag (args.py:34, default 0.0) is
+    # parsed but never reaches its optimizer: trainer_base.py:56-59 builds
+    # torch AdamW with ITS default 0.01. Default 0.01 here matches what
+    # reference training effectively runs; the flag is live (honored).
+    weight_decay: float = 0.01
     warmup_steps: float = 0.1
 
     # Data loading
@@ -273,7 +277,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--optim", type=str, default="adamw")
     parser.add_argument("--lr", type=float, default=1e-5)
     parser.add_argument("--fp16", action="store_true")
-    parser.add_argument("--weight_decay", type=float, default=0.0)
+    # default matches the reference's EFFECTIVE decay (torch AdamW 0.01;
+    # its own flag is dead code) — see HirestConfig.weight_decay
+    parser.add_argument("--weight_decay", type=float, default=0.01)
     parser.add_argument("--warmup_steps", type=float, default=0.1)
 
     # Data loading

@@ -87,24 +87,41 @@ def collate(
     if "prev_boundary_mask" in examples[0]:
         batch["prev_boundary_mask"] = stack_mask("prev_boundary_mask")
 
+    row_len = None
     if feats is not None:
         from hirest_tpu import native
 
         batch["vis_feats"] = native.pack_batch(feats, bucket)
-        # actual feature length can exceed n_frames metadata; mask tracks features
+        # actual feature length can differ from the n_frames metadata in
+        # BOTH directions; every frame-indexed array must agree on the
+        # effective length n or train/predict masks diverge (predict masks
+        # logits with video_mask, the losses mask with moment_mask)
+        row_len = np.array([min(f.shape[0], bucket) for f in feats])
         for i, f in enumerate(feats):
-            n = min(f.shape[0], bucket)
+            n = row_len[i]
             if n != batch["video_mask"][i].sum():
                 vm = np.zeros(bucket, dtype=np.int32)
                 vm[:n] = 1
                 batch["video_mask"][i] = vm
+            if batch["moment_mask"][i, n:].any():
+                batch["moment_mask"][i, n:] = 0
+                if not batch["moment_mask"][i].any():
+                    # degenerate: the annotated moment lies entirely past
+                    # the real features — keep one valid frame so masked
+                    # losses stay finite
+                    batch["moment_mask"][i, n - 1] = 1
         if asr is not None:
             batch["asr_feats"] = native.pack_batch(asr, bucket)
 
     for key in ("moment_retrieval_start_target", "moment_retrieval_end_target",
                 "moment_segmentation_target"):
         if key in examples[0]:
-            batch[key] = np.array([e[key] for e in examples], dtype=np.int32)
+            t = np.array([e[key] for e in examples], dtype=np.int32)
+            if row_len is not None:
+                # bin targets must stay inside the real feature range —
+                # video_mask makes bins >= n unreachable at predict time
+                t = np.minimum(t, (row_len - 1).astype(np.int32))
+            batch[key] = t
 
     if "moment_bound_frames" in examples[0]:
         batch["moment_bound_frames"] = np.array(
@@ -141,7 +158,8 @@ class TaskBatcher:
                  shuffle: bool = False, seed: int = 0,
                  num_hosts: int = 1, host_id: int = 0,
                  drop_last: bool = False,
-                 pad_batch: bool = False):
+                 pad_batch: bool = False,
+                 pad_hosts: bool = False):
         self.examples = examples
         self.batch_size = batch_size
         self.store = store
@@ -151,6 +169,7 @@ class TaskBatcher:
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.drop_last = drop_last
+        self.pad_hosts = pad_hosts
         self.pad_batch = pad_batch
         self.epoch = 0
 
@@ -162,6 +181,16 @@ class TaskBatcher:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.pad_hosts and self.num_hosts > 1 and len(idx):
+            # DistributedSampler parity (reference run.py:853 via torch,
+            # hirest_dataset.py:604-606): pad by wrapping so every host
+            # sees the SAME index count — unequal counts give hosts
+            # different batch counts and different multitask schedules,
+            # desyncing collective train/eval steps across the mesh.
+            # Off for independent offline inference sharding (no
+            # collectives there; the JSON merge must not see duplicates).
+            total = -(-len(idx) // self.num_hosts) * self.num_hosts
+            idx = np.concatenate([idx, idx[: total - len(idx)]])
         return idx[self.host_id:: self.num_hosts]
 
     def __len__(self) -> int:

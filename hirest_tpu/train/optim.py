@@ -28,10 +28,17 @@ def linear_warmup_schedule(base_lr: float, warmup_steps: int, total_steps: int):
 
 
 def make_optimizer(lr: float, warmup_steps: float, total_steps: int,
-                   clip_grad_norm: float = -1.0, weight_decay: float = 0.0,
+                   clip_grad_norm: float = -1.0, weight_decay: float = 0.01,
                    accum_steps: int = 1) -> optax.GradientTransformation:
     """Build the optax chain. `warmup_steps` < 1 is a ratio of total steps
-    (args.py:35 semantics via trainer_base.py:43-48)."""
+    (args.py:35 semantics via trainer_base.py:43-48).
+
+    weight_decay default 0.01: the reference parses --weight_decay
+    (args.py:34, default 0.0) but never passes it to the optimizer —
+    trainer_base.py:56-59 builds torch.optim.AdamW(parameters, lr=...)
+    whose own default is 0.01, so 0.01 is what reference training actually
+    runs with. Here the flag is live (an explicit value is honored) but
+    the default matches the reference's effective behavior."""
     if warmup_steps < 1:
         warmup = int(total_steps * warmup_steps)
     else:
@@ -76,7 +83,8 @@ def bert_adam(lr: float, warmup: float = -1.0, t_total: int = -1,
               schedule: str = "warmup_linear", b1: float = 0.9,
               b2: float = 0.999, eps: float = 1e-6,
               weight_decay: float = 0.01,
-              max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+              max_grad_norm: float = 1.0,
+              decay_mask=None) -> optax.GradientTransformation:
     """Exact BertAdam semantics (reference
     clip4caption/modules/optimization.py:52-167), as one optax transform:
 
@@ -86,6 +94,12 @@ def bert_adam(lr: float, warmup: float = -1.0, t_total: int = -1,
     - decoupled weight decay added to the update before lr scaling;
     - schedule evaluated at step/t_total with the step counter starting at
       0 (so the very first warmup_linear step has lr == 0).
+
+    decay_mask: optional bool pytree (params structure); weight decay is
+    applied only where True — the optax analogue of the reference's param
+    groups, which give bias/LayerNorm tensors weight_decay 0.0
+    (clip4caption/train.py:196-211). None decays everything (plain
+    BertAdam(weight_decay=...) semantics).
 
     Used by the CLIP4Caption captioning pretrain loop
     (clip4caption/train.py uses BertAdam); HiREST's own trainer uses AdamW.
@@ -122,13 +136,15 @@ def bert_adam(lr: float, warmup: float = -1.0, t_total: int = -1,
         else:
             lr_t = jnp.asarray(lr, jnp.float32)
 
-        def upd(m_, v_, p):
+        def upd(m_, v_, p, decay):
             u = m_ / (jnp.sqrt(v_) + eps)
-            if weight_decay > 0:
+            if weight_decay > 0 and decay:
                 u = u + weight_decay * p
             return -lr_t * u
 
-        updates = jax.tree_util.tree_map(upd, m, v, params)
+        mask = (decay_mask if decay_mask is not None
+                else jax.tree_util.tree_map(lambda _: True, params))
+        updates = jax.tree_util.tree_map(upd, m, v, params, mask)
         return updates, {"step": state["step"] + 1, "m": m, "v": v}
 
     return optax.GradientTransformation(init, update)

@@ -65,7 +65,13 @@ def build_pretrain_examples(annotations: dict, store, tokenizer, max_words: int,
     out = []
     for e in examples:
         feats = store.visual(e["fname"], e["n_model_frames"])
+        # reconcile mask vs actual feature length BOTH ways: truncate a
+        # longer mask, and zero-pad a shorter one (feature files routinely
+        # have a few more rows than int(v_duration); the extra frames are
+        # outside the annotated moment either way)
         mm = np.asarray(e["moment_mask"])[: feats.shape[0]]
+        if mm.shape[0] < feats.shape[0]:
+            mm = np.pad(mm, (0, feats.shape[0] - mm.shape[0]))
         if mm.sum() == 0:
             continue
         d = caption_targets(tokenizer, e["target_text_raw"], max_words)
@@ -97,11 +103,22 @@ def pretrain_caption_generator(
     steps_per_epoch = max(1, len(examples) // batch_size)
     # BertAdam with warmup_linear — the exact optimizer of the upstream
     # captioning pretrain (clip4caption/train.py uses modules/optimization
-    # BertAdam; per-parameter grad clipping, no bias correction)
+    # BertAdam; per-parameter grad clipping, no bias correction). Bias and
+    # LayerNorm tensors are excluded from weight decay, mirroring the
+    # reference's param groups (clip4caption/train.py:196-211: no_decay =
+    # ['bias', 'LayerNorm.bias', 'LayerNorm.weight'] -> weight_decay 0.0).
     from hirest_tpu.train.optim import bert_adam
 
+    def _decays(path) -> bool:
+        keys = [getattr(k, "key", str(k)) for k in path]
+        return not (keys[-1] == "bias"
+                    or any("LayerNorm" in k for k in keys))
+
+    decay_mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: _decays(path), params)
     tx = bert_adam(lr, warmup=warmup, t_total=steps_per_epoch * epochs,
-                   schedule="warmup_linear", max_grad_norm=1.0)
+                   schedule="warmup_linear", max_grad_norm=1.0,
+                   decay_mask=decay_mask)
     opt_state = tx.init(params)
 
     @jax.jit

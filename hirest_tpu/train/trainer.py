@@ -76,6 +76,15 @@ class Trainer:
             self.model_cfg,
             dtype=jnp.bfloat16 if config.fp16 else jnp.float32,
         )
+        # training applies run with dropout LIVE (the reference trains in
+        # model.train() mode: BERT hidden/attention dropout 0.1 from
+        # visual_config.json/decoder_config.json); eval and predict use
+        # self.model, whose layers are deterministic. Same params either way.
+        self.train_model = MomentModel(
+            self.model_cfg,
+            dtype=self.model.dtype,
+            deterministic=False,
+        )
         self.tokenizer = wordpiece_tokenizer
         vocab = getattr(wordpiece_tokenizer, "vocab", None)
         self.bos_id = vocab["[CLS]"] if vocab else BOS_ID
@@ -187,21 +196,29 @@ class Trainer:
                 # stays static: no per-epoch retrace, and every array shards
                 # evenly over the 'data' axis (reference DistributedSampler
                 # semantics, hirest_dataset.py:604-606)
+                # pad_hosts: trainer loaders drive COLLECTIVE steps over the
+                # global mesh, so every host must iterate the same number of
+                # batches (DistributedSampler wrap-padding); predictions
+                # keyed by fname collapse the wrapped duplicates, exactly as
+                # in the reference
                 loaders[split][task] = TaskBatcher(
                     ex, batch_size=bs, store=self.store, buckets=self.buckets,
                     shuffle=(split == "train"), seed=cfg.seed,
                     num_hosts=jax.process_count(), host_id=jax.process_index(),
-                    pad_batch=self.mesh is not None)
+                    pad_batch=self.mesh is not None, pad_hosts=True)
         return loaders
 
     # -- jitted step functions -------------------------------------------
 
     def _loss_for_task(self, params, task, arrs, dropout_rng=None):
-        m = self.model
+        # dropout_rng selects the training model (dropout live) and seeds
+        # its dropout masks; None = deterministic eval losses
+        m = self.model if dropout_rng is None else self.train_model
+        rngs = None if dropout_rng is None else {"dropout": dropout_rng}
         if task == "moment_retrieval":
             out = m.apply(params, arrs["vis_feats"], arrs["text_feat"],
                           arrs["video_mask"], arrs["moment_mask"],
-                          arrs.get("asr_feats"))
+                          arrs.get("asr_feats"), rngs=rngs)
             return L.moment_retrieval_loss(
                 out["start_logits"], out["end_logits"],
                 arrs["moment_retrieval_start_target"],
@@ -211,15 +228,17 @@ class Trainer:
             logits = m.apply(params, arrs["vis_feats"], arrs["text_feat"],
                              arrs["video_mask"], arrs["moment_mask"],
                              arrs.get("asr_feats"), arrs["prev_boundary_mask"],
-                             method=MomentModel.moment_segmentation)
+                             method=MomentModel.moment_segmentation, rngs=rngs)
             return L.moment_segmentation_loss(
                 logits, arrs["moment_segmentation_target"],
                 arrs["moment_mask"], arrs.get("batch_mask"))
         if task == "step_captioning":
             vis = m.apply(params, arrs["vis_feats"], arrs["text_feat"],
-                          arrs.get("asr_feats"), method=MomentModel.caption_encode)
+                          arrs.get("asr_feats"), method=MomentModel.caption_encode,
+                          rngs=rngs)
             logits = m.apply(params, vis, arrs["input_caption_ids"],
-                             arrs["decoder_mask"], method=MomentModel.caption_logits)
+                             arrs["decoder_mask"], method=MomentModel.caption_logits,
+                             rngs=rngs)
             return L.step_captioning_loss(logits, arrs["output_caption_ids"],
                                           arrs.get("batch_mask"))
         raise ValueError(task)
@@ -228,11 +247,16 @@ class Trainer:
         key = ("train", task)
         if key not in self._jit_cache:
             tx = self.tx
+            seed = self.config.seed
 
             @jax.jit
-            def train_step(params, opt_state, arrs):
+            def train_step(params, opt_state, arrs, step):
+                # per-step dropout key derived inside the jit (step is a
+                # traced scalar: no retrace per step, fully seeded)
+                rng = jax.random.fold_in(jax.random.PRNGKey(seed), step)
                 loss, grads = jax.value_and_grad(
-                    lambda p: self._loss_for_task(p, task, arrs))(params)
+                    lambda p: self._loss_for_task(p, task, arrs,
+                                                  dropout_rng=rng))(params)
                 updates, new_opt = tx.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
                 return new_params, new_opt, loss
@@ -310,13 +334,18 @@ class Trainer:
 
     # -- training ---------------------------------------------------------
 
-    def setup_optimizer(self, steps_per_epoch: int):
+    def setup_optimizer(self, steps_per_epoch: int, reset: bool = False):
         cfg = self.config
         total = (steps_per_epoch // cfg.gradient_accumulation_steps) * cfg.epochs
         self.tx = make_optimizer(cfg.lr, cfg.warmup_steps, max(total, 1),
                                  cfg.clip_grad_norm, cfg.weight_decay,
                                  cfg.gradient_accumulation_steps)
-        self.opt_state = self.tx.init(self.params)
+        # keep an optimizer state restored by load() — re-initializing here
+        # would silently restart Adam moments / accumulation / the schedule
+        # count on resume, the reference flaw (trainer_base.py:109-126) this
+        # module's header documents fixing
+        if reset or self.opt_state is None:
+            self.opt_state = self.tx.init(self.params)
         self._jit_cache.clear()
 
     def train(self):
@@ -326,6 +355,14 @@ class Trainer:
                 "step-captioning TRAINING needs a WordPiece tokenizer for the "
                 "teacher-forcing targets: put bert-base-uncased vocab.txt in "
                 f"{cfg.pretrained_dir} (inference-only runs work without it)")
+        if "val" not in self.loaders:
+            # fail BEFORE the first epoch, not at its end: _build_loaders
+            # skips missing split files silently, and BEST-by-val-loss
+            # cannot run without the val split
+            raise ValueError(
+                "validation split not found: expected "
+                f"{os.path.join(cfg.data_dir or '<data_dir>', 'all_data_val.json')} "
+                "(train() selects BEST by val loss)")
         train_batchers = self.loaders["train"]
         schedule = MultitaskSchedule(train_batchers, shuffle=True)
         self.setup_optimizer(len(schedule))
@@ -335,6 +372,7 @@ class Trainer:
         timer = PhaseTimer()
         metrics = MetricsLogger(cfg.metrics_log)
         traced = False
+        pending_losses: list = []  # device scalars, fetched every 50 steps
 
         for epoch in range(self.start_epoch, self.start_epoch + cfg.epochs):
             self.epoch = epoch
@@ -356,15 +394,26 @@ class Trainer:
                 with timer.phase("train_step"), trace(None if traced else cfg.trace_dir):
                     traced = True
                     self.params, self.opt_state, loss = step_fn(
-                        self.params, self.opt_state, arrs)
+                        self.params, self.opt_state, arrs,
+                        jnp.asarray(self.step, jnp.uint32))
                 self.step += 1
-                if self.verbose:
-                    meter.update(float(loss))
+                # keep losses ON DEVICE on the hot path: a float() every
+                # step blocks the host on step completion and stalls async
+                # dispatch of the next step; fetch at the metrics cadence,
+                # when the values are long since computed
+                pending_losses.append(loss)
                 if self.step % 50 == 0:
+                    for dl in pending_losses:
+                        meter.update(float(dl))
+                    pending_losses.clear()
                     metrics.log(self.step, epoch=epoch, task=task,
-                                loss=float(loss))
+                                loss=meter.val)
                 if cfg.save_every_steps and self.step % cfg.save_every_steps == 0:
                     self.save("LAST")  # preemption-safe periodic snapshot
+
+            for dl in pending_losses:  # flush the tail of the epoch
+                meter.update(float(dl))
+            pending_losses.clear()
 
             val_loss = 0.0
             epoch_results = {}
@@ -613,6 +662,15 @@ class Trainer:
             path = path + ".msgpack"
         with open(path, "rb") as f:
             data = f.read()
+        if self.opt_state is None and "train" in self.loaders and \
+                b"opt_state" in data:
+            # the checkpoint carries optimizer state but no optimizer is
+            # set up yet (fresh-process resume): build it FIRST so the
+            # template below restores Adam moments / accumulation / the
+            # schedule count instead of silently dropping them (from_bytes
+            # ignores keys absent from the template)
+            self.setup_optimizer(len(MultitaskSchedule(
+                self.loaders["train"], shuffle=True)))
         template = {"params": self.params, "step": 0, "epoch": 0}
         if self.opt_state is not None:
             template["opt_state"] = self.opt_state

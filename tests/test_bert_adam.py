@@ -88,3 +88,28 @@ def test_bert_adam_constant_lr_no_schedule():
     torch_out, jax_out = _run_pair(warmup=-1, t_total=-1)
     for t, j in zip(torch_out, jax_out):
         np.testing.assert_allclose(j, t, rtol=1e-5, atol=1e-6)
+
+
+def test_decay_mask_excludes_bias_and_layernorm():
+    """decay_mask=False leaves a parameter undecayed (the reference's param
+    groups give bias/LayerNorm weight_decay 0.0, clip4caption/train.py:
+    196-211); with zero grads the Adam term is 0, so only decayed params
+    move."""
+    params = {"dense": {"kernel": jnp.ones((3,)), "bias": jnp.ones((3,))},
+              "LayerNorm": {"scale": jnp.ones((3,)), "bias": jnp.ones((3,))}}
+
+    def decays(path):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        return not (keys[-1] == "bias" or any("LayerNorm" in k for k in keys))
+
+    mask = jax.tree_util.tree_map_with_path(lambda p, _: decays(p), params)
+    tx = bert_adam(lr=1.0, weight_decay=0.01, max_grad_norm=-1.0,
+                   decay_mask=mask)
+    state = tx.init(params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, state, params)
+    new = optax.apply_updates(params, updates)
+    assert not np.allclose(np.asarray(new["dense"]["kernel"]), 1.0)
+    assert np.allclose(np.asarray(new["dense"]["bias"]), 1.0)
+    assert np.allclose(np.asarray(new["LayerNorm"]["scale"]), 1.0)
+    assert np.allclose(np.asarray(new["LayerNorm"]["bias"]), 1.0)

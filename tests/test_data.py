@@ -227,3 +227,56 @@ def test_full_train_split_scale():
     assert counts == {"moment_retrieval": 865, "moment_segmentation": 4128,
                       "step_captioning": 4145}
     assert time.time() - t0 < 30
+
+
+def test_host_striding_pad_hosts_equalizes_counts():
+    """pad_hosts=True (trainer loaders) wrap-pads so every host iterates
+    the same number of indices/batches (DistributedSampler parity —
+    unequal counts desync collective steps); pad_hosts=False (independent
+    offline inference sharding) keeps exact partitioning, no duplicates."""
+    from hirest_tpu.data.batching import TaskBatcher
+
+    ex = [{"task": "t", "prompt": "p", "fname": f"v{i}", "video_duration": 1.0,
+           "n_frames": 4, "video_mask": [1] * 4, "moment_mask": [1] * 4}
+          for i in range(9)]
+    padded = [TaskBatcher(ex, batch_size=4, num_hosts=2, host_id=h,
+                          pad_hosts=True) for h in (0, 1)]
+    assert [len(b._indices()) for b in padded] == [5, 5]
+    assert len(padded[0]) == len(padded[1])
+    # the wrap duplicates come from the front of the permutation
+    assert sorted(np.concatenate([b._indices() for b in padded])[:10].tolist()
+                  ) == sorted(list(range(9)) + [int(padded[1]._indices()[-1])])
+
+    exact = [TaskBatcher(ex, batch_size=4, num_hosts=2, host_id=h)
+             for h in (0, 1)]
+    both = np.concatenate([b._indices() for b in exact])
+    assert sorted(both.tolist()) == list(range(9))  # partition, no dup
+
+
+def test_collate_reconciles_short_features():
+    """A feature file SHORTER than the n_frames metadata must shrink every
+    frame-indexed view consistently: video_mask, moment_mask, and the MR
+    bin targets all stay inside the real feature range (otherwise the loss
+    trains on zero-feature frames that predict-time masking makes
+    unreachable)."""
+    import tempfile
+
+    from hirest_tpu.data.batching import collate
+    from hirest_tpu.data.features import FeatureStore
+
+    tmp = tempfile.mkdtemp()
+    np.save(os.path.join(tmp, "v.npy"),
+            np.ones((6, 8), np.float32))  # 6 real rows < 10 meta
+    store = FeatureStore(tmp, None, None)
+
+    e = {"task": "moment_retrieval", "prompt": "p", "fname": "v",
+         "video_duration": 10.0, "n_frames": 10, "n_model_frames": -1,
+         "video_mask": [1] * 10, "moment_mask": [0] * 8 + [1, 1],
+         "moment_retrieval_start_target": 8,
+         "moment_retrieval_end_target": 9}
+    b = collate([e], store, buckets=(16,))
+    assert b["video_mask"][0].sum() == 6
+    assert not b["moment_mask"][0, 6:].any()
+    assert b["moment_mask"][0].any()              # degenerate-guard kept 1
+    assert b["moment_retrieval_start_target"][0] <= 5
+    assert b["moment_retrieval_end_target"][0] <= 5

@@ -177,3 +177,64 @@ def test_end_to_end_pipeline(env):
                     assert "heading" in step and "absolute_bounds" in step
                     filled += 1
     assert filled > 0
+
+
+@requires_data
+@pytest.mark.slow
+def test_resume_restores_optimizer_state(env):
+    """A fresh-process load() of a checkpoint that carries opt_state must
+    restore it (Adam moments / schedule count), not silently drop it and
+    re-init in train() — the reference's silent-optimizer-restart flaw
+    (trainer_base.py:109-126) this trainer documents fixing."""
+    import jax
+    import jax.numpy as jnp
+
+    t = make_trainer(env)
+    t.setup_optimizer(4)
+    # plant a sentinel in the moments so restoration is distinguishable
+    # from a fresh tx.init (which is all zeros)
+    t.opt_state = jax.tree_util.tree_map(
+        lambda a: jnp.full_like(a, 7) if a.dtype.kind == "f" else a,
+        t.opt_state)
+    t.step = 123
+    t.save("OPTCK")
+
+    t2 = make_trainer(env)
+    assert t2.opt_state is None
+    t2.load(os.path.join(t.config.ckpt_dir, "OPTCK"))
+    assert t2.opt_state is not None and t2.step == 123
+    moments = [np.asarray(a) for a in jax.tree_util.tree_leaves(t2.opt_state)
+               if hasattr(a, "dtype") and a.dtype.kind == "f"]
+    assert moments and all(np.allclose(m, 7) for m in moments)
+    # train()'s setup_optimizer must keep the restored state
+    t2.setup_optimizer(4)
+    kept = [np.asarray(a) for a in jax.tree_util.tree_leaves(t2.opt_state)
+            if hasattr(a, "dtype") and a.dtype.kind == "f"]
+    assert all(np.allclose(m, 7) for m in kept)
+    t2.setup_optimizer(4, reset=True)  # explicit reset still possible
+    reset = [np.asarray(a) for a in jax.tree_util.tree_leaves(t2.opt_state)
+             if hasattr(a, "dtype") and a.dtype.kind == "f"]
+    assert all(np.allclose(m, 0) for m in reset)
+
+
+@requires_data
+def test_training_dropout_is_live(env):
+    """Training losses must be computed with dropout ACTIVE (the reference
+    trains in model.train() mode, BERT dropout 0.1): different dropout rngs
+    give different losses; eval losses (no rng) stay deterministic."""
+    import jax
+
+    t = make_trainer(env)
+    from hirest_tpu.data.multitask import MultitaskSchedule
+
+    batch = next(iter(MultitaskSchedule(t.loaders["train"], shuffle=False)))
+    task = batch["tasks"][0]
+    arrs = t._prepare(batch, task)
+    l1 = float(t._loss_for_task(t.params, task, arrs,
+                                dropout_rng=jax.random.PRNGKey(0)))
+    l2 = float(t._loss_for_task(t.params, task, arrs,
+                                dropout_rng=jax.random.PRNGKey(1)))
+    assert l1 != l2, "dropout rng had no effect - dropout is disabled"
+    e1 = float(t._loss_for_task(t.params, task, arrs))
+    e2 = float(t._loss_for_task(t.params, task, arrs))
+    assert e1 == e2
