@@ -127,6 +127,9 @@ class HirestConfig:
     # Data directories
     data_dir: str = ""
     video_feature_dir: str = ""
+    # root of per-video extracted-frame directories (raw-frame retrieval;
+    # reference inference_video_retrieval.py:221 args.video_dir)
+    video_dir: str = ""
     asr_dir: Optional[str] = None
     asr_feature_dir: Optional[str] = None
 
@@ -259,6 +262,8 @@ def get_parser() -> argparse.ArgumentParser:
     # Data directories
     parser.add_argument("--data_dir", type=str, required=True)
     parser.add_argument("--video_feature_dir", type=str, required=True)
+    parser.add_argument("--video_dir", type=str, default="",
+                        help="extracted-frames root for --raw_frame")
     parser.add_argument("--asr_dir", type=str, required=False)
     parser.add_argument("--asr_feature_dir", type=str, required=False)
 

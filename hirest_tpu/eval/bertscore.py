@@ -45,7 +45,12 @@ def bertscore_pairs(cand_embs, cand_masks, ref_embs, ref_masks):
         sim[i][cm[i]][:, rm[i]].max(axis=0).mean()
         if (cm[i].any() and rm[i].any()) else 0.0
         for i in range(sim.shape[0])])
-    f1 = 2 * precision * recall / np.clip(precision + recall, 1e-9, None)
+    # plain 2pr/(p+r), 0 where the denominator vanishes — cosines can be
+    # negative, and clipping a NEGATIVE p+r up to epsilon would explode F1
+    # to an enormous wrong value instead of the correct negative score
+    denom = precision + recall
+    f1 = np.where(np.abs(denom) < 1e-9, 0.0,
+                  2 * precision * recall / np.where(denom == 0, 1.0, denom))
     return precision, recall, f1
 
 

@@ -105,8 +105,10 @@ def make_clipscore_fn(frame_dir: str, encode_image_fn, encode_text_fn, preproces
     other implementation)."""
     from glob import glob
 
+    from hirest_tpu.extraction.frames import resolve_frame_dir
+
     def _clipscore(video: str, caption: str, start: float, end: float):
-        frames = glob(f"{frame_dir}/{video}/*.jpg")
+        frames = glob(f"{resolve_frame_dir(frame_dir, video)}/*.jpg")
         frames.sort(key=lambda a: int(a.split("_")[-1].replace(".jpg", "")))
         if start >= len(frames) or end >= len(frames):
             return None

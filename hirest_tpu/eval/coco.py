@@ -192,7 +192,7 @@ class CocoEvaluator:
     takes flat candidate/reference string lists, returns {metric: score}."""
 
     def __init__(self, coco_types=("BLEU", "METEOR", "ROUGE_L", "CIDEr"),
-                 spice_fn=None, meteor_version="2005", meteor_kwargs=None):
+                 spice_fn=None, meteor_version="1.5", meteor_kwargs=None):
         self.coco_types = coco_types
         self.spice_fn = spice_fn
         # "1.5" scores with the METEOR-1.5 English model (the reference

@@ -377,6 +377,11 @@ def meteor(candidates: list[list[str]], references: list[list[list[str]]],
                    (("alpha", alpha), ("beta", beta), ("gamma", gamma))
                    if v is not None})
         return meteor_15(candidates, references, **kw)
+    if version != "2005":
+        # the two models differ ~2x on the same corpus — a typo silently
+        # scored on the wrong scale is worse than an error
+        raise ValueError(f"unknown METEOR version {version!r}: "
+                         f"use '2005' or '1.5'")
     if kw:
         raise TypeError(
             f"meteor(version={version!r}) got METEOR-1.5-only options "

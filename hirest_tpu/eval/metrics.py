@@ -184,7 +184,13 @@ def compute_step_bound_scores(gt_data, pred_data, categories: Categories | None 
                         ref_set_covered.add(ref_i)
                         pred_set_covered.add(pred_i)
 
-            new_precision = float(len(pred_set_covered)) / len(preds)
+            # NB: empty preds score precision 0.0. The reference divides by
+            # a LEAKED loop variable (evaluate.py: pred_i survives from the
+            # previous video), which gives 0.0 here too whenever it doesn't
+            # NameError on a first-video-empty prediction — 0.0 is the only
+            # sane reading of that behavior.
+            new_precision = (float(len(pred_set_covered)) / len(preds)
+                             if preds else 0.0)
             new_recall = float(len(ref_set_covered)) / len(refs)
 
             recall["all"].append(new_recall)

@@ -44,6 +44,24 @@ def extract_frames_for_video(args) -> int:
     return count
 
 
+def resolve_frame_dir(root, video_id) -> Path:
+    """Per-video frame directories exist under two naming conventions:
+    this extractor writes <root>/<stem>/ (extract_frames below), while the
+    reference extractor keys directories by the FULL filename
+    (<root>/<vid>.mp4/, extract_frames.py:15-36 + evaluate.py CLIPScore
+    globbing). Accept either so consumers (CLIPScore, raw-frame retrieval)
+    work on frames from both extractors. Returns the first candidate when
+    none exists, so the caller's error message names the primary path."""
+    root = Path(root)
+    cands = (root / str(video_id),
+             root / Path(str(video_id)).stem,
+             root / f"{video_id}.mp4")
+    for c in cands:
+        if c.is_dir():
+            return c
+    return cands[0]
+
+
 def extract_frames(video_dir: str, frame_dir: str, num_workers: int = 8,
                    video_ids=None) -> int:
     """Extract frames for every .mp4 in video_dir into frame_dir/{id}/."""

@@ -21,9 +21,19 @@ def probe_duration(video_path: str) -> float:
 
     cap = cv2.VideoCapture(str(video_path))
     try:
+        # VideoCapture does not raise on a missing/unreadable file — fail
+        # fast instead of proceeding with duration 0.0 (bounds [0, 0]) and
+        # returning a 'successful' but meaningless pipeline result
+        if not cap.isOpened():
+            raise FileNotFoundError(
+                f"cannot open video: {video_path!r} (missing file or "
+                f"unsupported codec)")
         fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
         frames = cap.get(cv2.CAP_PROP_FRAME_COUNT)
-        return float(frames / fps) if fps > 0 else 0.0
+        duration = float(frames / fps) if fps > 0 else 0.0
+        if duration <= 0:
+            raise ValueError(f"video {video_path!r} reports no frames")
+        return duration
     finally:
         cap.release()
 

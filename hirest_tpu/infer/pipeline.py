@@ -11,7 +11,6 @@ while still dumping the same per-stage JSONs into ckpt_dir.
 
 from __future__ import annotations
 
-import copy
 import json
 import os
 

@@ -90,11 +90,13 @@ def encode_videos_from_frames(frame_dir: str, video_ids: Sequence[str],
 
     from hirest_tpu.data.prefetch import prefetch
 
+    from hirest_tpu.extraction.frames import resolve_frame_dir
+
     def _decoded():
         # host decode runs a video ahead of the device encode (prefetch
         # thread), mirroring the extraction pipeline's overlap
         for vid in video_ids:
-            vdir = Path(frame_dir) / vid
+            vdir = resolve_frame_dir(frame_dir, vid)
             frame_paths = sorted(vdir.glob("frame_*.jpg"))
             if not frame_paths:
                 raise FileNotFoundError(f"no frames for {vid} in {vdir}")
@@ -149,8 +151,15 @@ def run_video_retrieval(config, encode_text_fn, encode_image_fn=None,
     text_embeds = encode_texts(encode_text_fn, prompts, config.eval_batch_size)
 
     if config.raw_frame:
+        # the extracted-frames root is its own flag (reference
+        # inference_video_retrieval.py:221 uses args.video_dir) — it is
+        # neither the splits dir nor the feature dir
+        if not config.video_dir:
+            raise ValueError(
+                "--raw_frame needs --video_dir: the root of per-video "
+                "extracted frame directories (see extraction/frames.py)")
         video_embeds = encode_videos_from_frames(
-            config.video_feature_dir if preprocess_fn is None else config.data_dir,
+            config.video_dir,
             all_videos, encode_image_fn, preprocess_fn, config.n_model_frames,
             batch_size=config.eval_batch_size,
             save_feature_dir=config.video_feature_dir if config.save_feats else None)

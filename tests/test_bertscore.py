@@ -70,3 +70,19 @@ def test_make_bertscore_fn_end_to_end(tmp_path):
     pred = {"v": {"captions": [{"sentence": "add salt"}]}}
     res = evaluate_step_captions(gt, pred, bertscore_fn=fn)
     assert res["all"]["BERTScore_F1"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_bertscore_f1_negative_cosines():
+    """All-negative best cosines give p = r < 0; F1 must be the plain
+    2pr/(p+r) (negative), not an exploded value from clipping a negative
+    denominator up to epsilon."""
+    import numpy as np
+
+    from hirest_tpu.eval.bertscore import bertscore_pairs
+
+    cand = np.ones((1, 2, 4), np.float32)
+    ref = -np.ones((1, 2, 4), np.float32)   # cosine exactly -1 everywhere
+    mask = np.ones((1, 2), bool)
+    p, r, f1 = bertscore_pairs(cand, mask, ref, mask)
+    assert p[0] == pytest.approx(-1.0) and r[0] == pytest.approx(-1.0)
+    assert f1[0] == pytest.approx(-1.0)     # 2*1/(-2), not ~1e9

@@ -58,13 +58,16 @@ def test_cider_identical_vs_disjoint():
 
 
 def test_coco_evaluator_surface():
-    ev = coco.CocoEvaluator()
+    # default meteor_version is "1.5" (the jar's model), same as the CLI —
+    # the 2005 mode is exercised explicitly below
+    ev = coco.CocoEvaluator(meteor_version="2005")
     res = ev.run_evaluation(["a b c d e"], ["a b c d e"])
     assert set(res) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
                         "ROUGE_L", "CIDEr"}
     assert res["Bleu_4"] == pytest.approx(1.0, abs=1e-4)
     # exact self-match, 5 tokens: 1 - gamma*(1/5)**beta = 1 - 0.5*0.008
     assert res["METEOR"] == pytest.approx(0.996, abs=1e-9)
+    assert coco.CocoEvaluator().meteor_version == "1.5"  # CLI-consistent
 
 
 def test_evaluate_step_captions_end_to_end():

@@ -101,3 +101,16 @@ def test_categories_routing():
     res = evaluate_moment_retrieval(gt, pred, cats)
     assert res["Cooking"]["R@0.5"] == 100.0
     assert res["all"]["R@0.5"] == 100.0
+
+
+def test_step_bound_scores_empty_prediction_rows():
+    """A video with an empty predicted bounds list scores precision 0.0
+    instead of ZeroDivisionError (the reference divides by a leaked loop
+    variable there; 0.0 is its non-crashing reading)."""
+    gt = {"v1": {"bounds": [[0, 5], [5, 10]]}, "v2": {"bounds": [[0, 4]]}}
+    pred = {"v1": {"bounds": []}, "v2": {"bounds": [[0, 4]]}}
+    res = compute_step_bound_scores(gt, pred)
+    for tiou, v in res["all"]["precision"].items():
+        assert v == pytest.approx(50.0), tiou
+    for tiou, v in res["all"]["recall"].items():
+        assert v == pytest.approx(50.0), tiou

@@ -189,7 +189,7 @@ def test_meteor15_via_coco_evaluator_flag():
 
 
 def test_coco_evaluator_reports_meteor():
-    ev = coco.CocoEvaluator()
+    ev = coco.CocoEvaluator(meteor_version="2005")
     res = ev.run_evaluation(["the cat sat"], ["the cat sat"])
     assert res["METEOR"] == pytest.approx(oracle_meteor(
         "the cat sat".split(), "the cat sat".split()), abs=1e-12)
