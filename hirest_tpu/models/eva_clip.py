@@ -93,6 +93,7 @@ class VisionBlock(nn.Module):
     mlp_hidden: int
     norm_eps: float = 1e-6
     use_pallas: bool = False
+    interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,7 +101,8 @@ class VisionBlock(nn.Module):
         h = nn.LayerNorm(epsilon=self.norm_eps, name="norm1", dtype=self.dtype)(x)
         h = MultiHeadAttention(num_heads=self.heads, head_dim=self.head_dim,
                                qkv_mode="fused_qv_bias", dtype=self.dtype,
-                               use_pallas=self.use_pallas, name="attn")(h)
+                               use_pallas=self.use_pallas,
+                               interpret=self.interpret, name="attn")(h)
         x = x + h
         h = nn.LayerNorm(epsilon=self.norm_eps, name="norm2", dtype=self.dtype)(x)
         h = nn.Dense(self.mlp_hidden, name="mlp_fc1", dtype=self.dtype)(h)
@@ -114,6 +116,7 @@ class EvaVisionTower(nn.Module):
 
     config: EvaVisionConfig = EvaVisionConfig()
     use_pallas: bool = False
+    interpret: bool = False  # CPU interpret mode for the pallas kernels
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -140,6 +143,7 @@ class EvaVisionTower(nn.Module):
             x = VisionBlock(heads=cfg.num_heads, head_dim=cfg.head_width,
                             mlp_hidden=cfg.mlp_hidden, norm_eps=cfg.norm_eps,
                             use_pallas=self.use_pallas,
+                            interpret=self.interpret,
                             dtype=self.dtype, name=f"block_{i}")(x)
 
         x = nn.LayerNorm(epsilon=cfg.norm_eps, name="norm", dtype=self.dtype)(x)

@@ -28,11 +28,11 @@ from hirest_tpu.ops.quant import QuantDense
 
 
 def _ln(x, p, eps):
-    x32 = x.astype(jnp.float32)
-    mu = x32.mean(-1, keepdims=True)
-    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
-    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    return (y * jnp.asarray(p["scale"]) + jnp.asarray(p["bias"])).astype(x.dtype)
+    # one shared f32 LayerNorm implementation (eva_scan._ln) — a numerics
+    # fix must not have to land in multiple copies
+    from hirest_tpu.models.eva_scan import _ln as _ln_core
+
+    return _ln_core(x, jnp.asarray(p["scale"]), jnp.asarray(p["bias"]), eps)
 
 
 def build_int8_vision_apply(params: dict, cfg: EvaVisionConfig = EvaVisionConfig(),

@@ -136,8 +136,9 @@ def stage_scanned_params(params: dict, cfg: EvaVisionConfig,
     build_scanned_vision_apply can reject a mismatched reuse — an int8
     mismatch fails loudly anyway (missing _wq keys), but a uint8_input
     mismatch would silently apply unfolded patch weights to raw 0..255
-    frames and produce garbage embeddings. (2-tuples from older callers
-    are still accepted by build_scanned_vision_apply, unchecked.)"""
+    frames and produce garbage embeddings. Meta-less 2-tuples are
+    REJECTED by build_scanned_vision_apply (the guard cannot be bypassed
+    by slicing the tuple)."""
     p = params["params"] if "params" in params else params
     stacked = stack_block_params(params, cfg)
     patch_w, patch_b = p["patch_embed"]["kernel"], p["patch_embed"]["bias"]

@@ -118,6 +118,10 @@ class MultiHeadAttention(nn.Module):
     use_out_proj: bool = True            # BERT-style blocks project in their
                                          # residual "output" sublayer instead
     use_pallas: bool = False             # VMEM-fused attention kernel (TPU)
+    interpret: bool = False              # run pallas kernels in interpret
+                                         # mode (CPU testing of the
+                                         # use_pallas tower; never changes
+                                         # WHICH path is selected)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -156,15 +160,17 @@ class MultiHeadAttention(nn.Module):
             # path needs aligned head widths.
             from hirest_tpu.ops.attention import fused_attention_packed
 
-            out = fused_attention_packed(q, k, v, scale,
-                                         self.num_heads).astype(self.dtype)
+            out = fused_attention_packed(
+                q, k, v, scale, self.num_heads,
+                interpret=self.interpret).astype(self.dtype)
         elif self.use_pallas and bias is None:
             from hirest_tpu.ops.attention import fused_attention
 
             q = split_heads(q, self.num_heads)
             k = split_heads(k, self.num_heads)
             v = split_heads(v, self.num_heads)
-            out = merge_heads(fused_attention(q, k, v, scale).astype(self.dtype))
+            out = merge_heads(fused_attention(
+                q, k, v, scale, interpret=self.interpret).astype(self.dtype))
         else:
             q = split_heads(q, self.num_heads)
             k = split_heads(k, self.num_heads)

@@ -125,13 +125,20 @@ def make_minilm_embedder(ckpt_path: str, vocab_path: str, max_length: int = 128,
 
     def embed(texts):
         n = len(texts)
-        ids = np.zeros((n, max_length), np.int32)
-        mask = np.zeros((n, max_length), np.int32)
+        # pad the batch to a power-of-two bucket: callers pass one batch
+        # per video (e.g. its SRT segment count), and a fresh [n, L] shape
+        # every call would recompile the encoder per video
+        cap = max(8, 1 << (n - 1).bit_length())
+        ids = np.zeros((cap, max_length), np.int32)
+        mask = np.zeros((cap, max_length), np.int32)
         for i, text in enumerate(texts):
             toks = [cls_id] + tok.convert_tokens_to_ids(
                 tok.tokenize(text))[: max_length - 2] + [sep_id]
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1
-        return np.asarray(apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+        # pad rows get a bare [CLS][SEP] mask so the row mean is defined
+        mask[n:, :2] = 1
+        out = np.asarray(apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+        return out[:n]
 
     return embed

@@ -223,14 +223,28 @@ class WhisperDecoder(nn.Module):
         return self._head(x)[:, 0], tuple(new_cache)
 
 
+_greedy_jit_cache: dict = {}
+
+
 def greedy_decode(decoder: WhisperDecoder, params, enc, prompt_ids: np.ndarray,
                   max_new_tokens: int, eot_id: int):
     """Jit-compiled greedy generation with KV cache. prompt_ids [B, P] seeds
-    the decode (Whisper's <sot> [task tokens] prefix); returns [B, P+N]."""
+    the decode (Whisper's <sot> [task tokens] prefix); returns [B, P+N].
+
+    The jitted program is cached per (decoder, shape) and takes params as an
+    EXPLICIT argument: rebuilding jax.jit(run) per call would retrace and
+    remote-recompile for every 30 s audio chunk, and closure-captured
+    weights become HLO constants (the >10-min compile-stall failure mode
+    eva_scan.py documents). The decoder object is kept in the cache entry
+    so its id() cannot be recycled."""
     b, p = prompt_ids.shape
     total = p + max_new_tokens
+    key = (id(decoder), b, p, total, eot_id)
+    if key in _greedy_jit_cache:
+        return np.asarray(_greedy_jit_cache[key][1](
+            params, enc, jnp.asarray(prompt_ids)))
 
-    def run(enc, prompt):
+    def run(params, enc, prompt):
         cross = decoder.apply(params, enc, method=WhisperDecoder.cross_kv)
         cache = decoder.apply(params, b, total, method=WhisperDecoder.init_cache)
         ids0 = jnp.zeros((b, total), jnp.int32)
@@ -255,7 +269,9 @@ def greedy_decode(decoder: WhisperDecoder, params, enc, prompt_ids: np.ndarray,
                                       jnp.arange(total - 1))
         return ids
 
-    return np.asarray(jax.jit(run)(enc, jnp.asarray(prompt_ids)))
+    _greedy_jit_cache[key] = (decoder, jax.jit(run))
+    return np.asarray(_greedy_jit_cache[key][1](
+        params, enc, jnp.asarray(prompt_ids)))
 
 
 # ---------------------------------------------------------------------------

@@ -171,7 +171,18 @@ def _pick_heads_per_block(sq: int, sk: int, d: int, num_heads: int,
         scratch = 4 * _round_up(sq, 8) * _round_up(sk, 128)  # f32 scores
         if io + scratch <= budget:
             return hpb
-    return num_heads  # full row: lane extent H*D (asserted by the caller)
+    # full-row fallback (lane extent H*D, per-head slices in-VMEM): check
+    # FIT too, not just the caller's alignment assert — over-budget block
+    # sets die deep in Mosaic with an opaque scoped-vmem error
+    io = 2 * (2 * sk + 2 * sq) * num_heads * d * itemsize
+    scratch = 4 * _round_up(sq, 8) * _round_up(sk, 128)
+    if io + scratch > budget:
+        raise ValueError(
+            f"no head-group fits the ~{budget >> 20} MB scoped-VMEM budget "
+            f"for sq={sq} sk={sk} d={d} H={num_heads}: pad heads to a "
+            f"128-aligned width (pad_vision_head_params) or use the "
+            f"[B,H,S,D] split-heads path")
+    return num_heads
 
 
 def _pallas_attention_packed(q, k, v, scale: float, num_heads: int,

@@ -237,7 +237,10 @@ class QuantDense:
     float param dict {'kernel', 'bias'?}, callable on activations."""
 
     def __init__(self, params: dict, out_dtype=jnp.bfloat16):
-        self.w_q, self.w_scale = quantize_weight(jnp.asarray(params["kernel"]))
+        # quantize_weight is HOST-side (numpy) by design — never wrap the
+        # kernel in jnp.asarray first, that would round-trip the full f32
+        # weight device->host through the ~48 MB/s tunnel for nothing
+        self.w_q, self.w_scale = quantize_weight(params["kernel"])
         self.bias = (jnp.asarray(params["bias"]) if "bias" in params else None)
         self.out_dtype = out_dtype
 

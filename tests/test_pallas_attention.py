@@ -264,3 +264,26 @@ def test_batched_heads_kernels_match_at_eva_dims():
     np.testing.assert_allclose(
         (np.asarray(qf) * np.asarray(sf)).reshape(B, S, H * D), ref,
         atol=2e-2)
+
+
+def test_unrolled_pallas_tower_interpret_on_cpu():
+    """EvaVisionTower(use_pallas=True) must be runnable on CPU via the
+    interpret flag (kernels run in interpret mode; the selected path is
+    unchanged) and match the XLA tower numerically."""
+    import numpy as np
+
+    from hirest_tpu.config import EvaVisionConfig
+    from hirest_tpu.models.eva_clip import EvaVisionTower
+    from hirest_tpu.utils.init import shape_only_init
+
+    cfg = EvaVisionConfig(image_size=28, layers=2, width=128, head_width=128,
+                          mlp_ratio=2.0, patch_size=14, embed_dim=32)
+    imgs = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 28, 28, 3)), jnp.float32)
+    ref_tower = EvaVisionTower(cfg, dtype=jnp.float32)
+    params = shape_only_init(ref_tower, imgs[:1])
+    ref = np.asarray(ref_tower.apply(params, imgs))
+    pal = EvaVisionTower(cfg, dtype=jnp.float32, use_pallas=True,
+                         interpret=True)
+    out = np.asarray(pal.apply(params, imgs))
+    np.testing.assert_allclose(ref, out, rtol=2e-5, atol=2e-5)
