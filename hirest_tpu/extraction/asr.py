@@ -71,12 +71,16 @@ def transcribe_audio_dir(audio_dir: str, srt_dir: str, model_name: str = "small.
 # TPU-native transcription (JAX Whisper, hirest_tpu.models.whisper)
 # ---------------------------------------------------------------------------
 
-# Public token-id constants of the Whisper *.en vocabulary
-EOT = 50256
-SOT = 50257
-NO_TIMESTAMPS = 50362
-TIMESTAMP_BEGIN = 50363
-TIME_PRECISION = 0.02  # seconds per timestamp token
+# Public token-id constants of the Whisper *.en vocabulary — single source
+# of truth is the tokenizer (tokenizers/gpt2_bpe.py); re-exported here for
+# existing importers
+from hirest_tpu.tokenizers.gpt2_bpe import WhisperEnTokenizer as _WT
+
+EOT = _WT.EOT
+SOT = _WT.SOT
+NO_TIMESTAMPS = _WT.NO_TIMESTAMPS
+TIMESTAMP_BEGIN = _WT.TIMESTAMP_BEGIN
+TIME_PRECISION = _WT.TIME_PRECISION
 
 
 def tokens_to_segments(tokens, decode_text_fn, chunk_offset: float = 0.0):
@@ -153,6 +157,15 @@ class JaxWhisperTranscriber:
             raise ValueError("need `tokenizer` (WhisperEnTokenizer) or "
                              "`decode_text_fn` to produce transcript text")
         self.decode_options = decode_options
+        if decode_options is not None and tokenizer is None:
+            # the rules decoder (beam, temperature fallback, quality gates)
+            # needs the tokenizer's special-token ids — silently dropping
+            # the requested options onto the greedy path is the one thing
+            # this flag must never do
+            raise ValueError(
+                "decode_options given but no tokenizer: the rules decode "
+                "path needs a WhisperEnTokenizer (pass `tokenizer=` or use "
+                "from_hf_dir, which builds one from vocab.json/merges.txt)")
         self.use_rules = use_rules and tokenizer is not None
         self.max_new_tokens = max_new_tokens
         self._jnp = jnp

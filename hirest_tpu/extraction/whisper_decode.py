@@ -202,7 +202,13 @@ def decode_segment(adapter, enc, tok, options: DecodeOptions,
     except Exception:
         blank_id = None
 
+    # pad the KV-cache length to a 64-bucket: sample_begin tracks the
+    # growing previous-text prompt, so an exact-fit cache would present a
+    # fresh shape (and force a full recompile of the jitted decode step)
+    # for nearly every 30 s window; rows past `pos` are masked in
+    # self-attention (models/whisper.py step), so padding is identity
     max_len = sample_begin + options.sample_len
+    max_len = -(-max_len // 64) * 64
     state = adapter.init_state(enc, n, max_len)
 
     seqs = [list(initial) for _ in range(n)]
@@ -447,6 +453,12 @@ def transcribe_with_rules(adapter, audio: np.ndarray, tok,
             single_ts_ending = False
             consecutive = []
 
+        # tokens actually consumed into segments this window — the prompt
+        # conditioning below must see ONLY these (the reference extends
+        # all_tokens from current_segments, i.e. tokens[:last_slice]; the
+        # unconsumed tail past the last timestamp pair is re-decoded in the
+        # next window and must not leak into its prompt)
+        consumed: list = []
         if consecutive:
             slices = list(consecutive)
             if single_ts_ending:
@@ -459,6 +471,7 @@ def transcribe_with_rules(adapter, audio: np.ndarray, tok,
                 add_segment(time_offset + start_pos * TIME_PRECISION,
                             time_offset + end_pos * TIME_PRECISION,
                             sliced.tolist())
+                consumed.extend(sliced.tolist())
                 last_slice = cur
             if single_ts_ending:
                 seek += segment_size   # window fully consumed
@@ -472,9 +485,10 @@ def transcribe_with_rules(adapter, audio: np.ndarray, tok,
             if ts.size and int(ts[-1]) != ts_begin:
                 duration = (int(ts[-1]) - ts_begin) * TIME_PRECISION
             add_segment(time_offset, time_offset + duration, tokens.tolist())
+            consumed.extend(tokens.tolist())
             seek += segment_size
 
-        all_tokens.extend(result.tokens)
+        all_tokens.extend(consumed)
         if not options.condition_on_previous_text or result.temperature > 0.5:
             prompt_reset_since = len(all_tokens)
 

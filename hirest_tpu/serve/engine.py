@@ -145,9 +145,15 @@ class ServingEngine:
             self.retrieve("warmup prompt", top_k=1)
             out["retrieve"] = True
             vid = video_fname or f"{self.video_ids[0]}"
-            try:
-                self.analyze("warmup prompt", vid if vid.endswith(".mp4") else vid + ".mp4")
-                out["analyze"] = True
-            except FileNotFoundError:
-                pass
+            # feature files may be keyed by raw stem (this repo's extractor)
+            # or with the container suffix (reference naming): try the id
+            # as indexed FIRST, then the suffixed form
+            for cand in ([vid] if vid.endswith(".mp4")
+                         else [vid, vid + ".mp4"]):
+                try:
+                    self.analyze("warmup prompt", cand)
+                    out["analyze"] = True
+                    break
+                except FileNotFoundError:
+                    continue
         return out

@@ -50,8 +50,17 @@ def make_server(engine: ServingEngine, host: str = "127.0.0.1",
                     if "prompt" not in req:
                         self._send(400, {"error": "missing 'prompt'"})
                         return
-                    self._send(200, engine.retrieve(req["prompt"],
-                                                    int(req.get("top_k", 10))))
+                    try:
+                        top_k = int(req.get("top_k", 10))
+                        if top_k < 1:
+                            raise ValueError("top_k must be >= 1")
+                    except (TypeError, ValueError) as e:
+                        # client input error, not a server fault (and a
+                        # negative top_k would silently slice the WORST
+                        # results via argsort[:-k])
+                        self._send(400, {"error": f"bad top_k: {e}"})
+                        return
+                    self._send(200, engine.retrieve(req["prompt"], top_k))
                 elif self.path == "/v1/analyze":
                     missing = [k for k in ("prompt", "video") if k not in req]
                     if missing:

@@ -33,12 +33,23 @@ DEFAULT_BPE_PATH = os.path.join(
 )
 
 def _compile_word_pattern():
-    # Python's stdlib `re` has no \p{L}/\p{N}; equivalent classes:
-    # letters -> [^\W\d_] (unicode word char minus digits/underscore), numbers -> \d
-    return re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+""",
-        re.IGNORECASE | re.UNICODE,
-    )
+    # The canonical CLIP pattern uses \p{L}/\p{N} (simple_tokenizer.py via
+    # the `regex` module — ships with `transformers`); prefer it for exact
+    # parity. stdlib-`re` fallback: letters -> [^\W\d_], numbers -> \d, and
+    # the punctuation branch must explicitly include '_' ([^\s\w] excludes
+    # it since _ is a word char) or underscores silently VANISH from the
+    # token stream instead of tokenizing as punctuation.
+    try:
+        import regex
+
+        return regex.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            regex.IGNORECASE)
+    except ImportError:
+        return re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
+            re.IGNORECASE | re.UNICODE,
+        )
 
 
 @functools.lru_cache()
@@ -135,7 +146,7 @@ class ClipBPETokenizer:
     def encode(self, text: str) -> list[int]:
         bpe_tokens: list[int] = []
         text = whitespace_clean(basic_clean(text)).lower()
-        for token in re.findall(self.pat, text):
+        for token in self.pat.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
         return bpe_tokens

@@ -88,3 +88,16 @@ def test_detokenize_caption_matches_reference_postprocess():
     assert detokenize_caption(toks) == "pancake"
     # leading continuation is stripped like the reference's strip("##")
     assert detokenize_caption(["##ing", "salt"]) == "ing salt"
+
+
+def test_clip_bpe_underscore_not_dropped():
+    """'_' must tokenize as punctuation (reference CLIP's [^\\s\\p{L}\\p{N}]+
+    branch), not vanish from the word-split regex: 'foo_bar' encodes to
+    foo / _ / bar, never to the ids of plain 'foo bar'."""
+    from hirest_tpu.tokenizers.bpe import ClipBPETokenizer
+
+    t = ClipBPETokenizer()
+    with_us = t.encode("foo_bar")
+    without = t.encode("foo bar")
+    assert with_us != without
+    assert t.decode(with_us) == "foo _ bar "

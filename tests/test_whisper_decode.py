@@ -445,3 +445,36 @@ def test_jax_adapter_end_to_end_tiny():
 def test_compression_ratio():
     assert compression_ratio("ha" * 500) > 2.4
     assert compression_ratio("The quick brown fox jumps over the lazy dog") < 2.4
+
+
+def test_seek_loop_prompt_excludes_unconsumed_tail():
+    """When a window is only partially consumed (seek rewinds to the last
+    timestamp pair), the tokens past that pair are re-decoded next window
+    and must NOT leak into its previous-text prompt (whisper extends
+    all_tokens only with the sliced segments' tokens)."""
+    tok = FakeTok()
+    tail = [117, 118, 119]
+    # pair at <|20.00|> then an unconsumed tail, no single-ts ending
+    script = [TS, 104, TS + 1000, TS + 1000] + tail + [FakeTok.EOT]
+
+    class RecordingAdapter(ScriptAdapter):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.windows = []
+
+        def step(self, state, tokens, pos):
+            t = int(tokens[0])
+            if t == FakeTok.SOT_PREV or (t == FakeTok.SOT and (
+                    not self.windows or self.windows[-1])):
+                self.windows.append([])
+            if self.windows:
+                self.windows[-1].append(t)
+            return super().step(state, tokens, pos)
+
+    adapter = RecordingAdapter(script)
+    transcribe_with_rules(adapter, _audio(50.0), tok, GREEDY)
+    assert len(adapter.windows) >= 2
+    second_prompt = adapter.windows[1]
+    for t in tail:
+        assert t not in second_prompt, (t, second_prompt)
+    assert 104 in second_prompt  # the consumed text DOES condition it
