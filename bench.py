@@ -354,7 +354,11 @@ def _fail_fast(error: str):
         fail["last_measured"] = last[metric]
     if last:
         fail["last_measured_all"] = last
-    print(json.dumps(fail))
+    # flush=True is LOAD-BEARING: the queue/driver pipe stdout to a log
+    # file (block-buffered), and os._exit skips the interpreter's flush —
+    # without it the fail-fast JSON silently vanishes on exactly the
+    # outage it exists to document
+    print(json.dumps(fail), flush=True)
     import os
 
     os._exit(1)
@@ -375,6 +379,7 @@ def _wait_for_queue_lock(max_wait_s: float = 7200.0):
     lock = QUEUE_LOCK_PATH
     t0 = _time.perf_counter()
     while os.path.exists(lock):
+        pid = "unknown"  # PermissionError can fire before pid is read
         try:
             pid = int(open(lock).read().strip())
             os.kill(pid, 0)  # raises if the queue process is gone

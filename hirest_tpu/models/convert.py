@@ -249,3 +249,46 @@ def init_moment_model_from_clip4caption(params: dict, clip4cap_sd: Mapping,
     params["decoder"] = convert_caption_decoder(
         clip4cap_sd, config.decoder.num_decoder_layers, prefix="decoder.")
     return params
+
+
+def convert_checkpoint_tree(kind: str, sd: Mapping) -> dict:
+    """kind -> converted flax param tree. The SINGLE source of the
+    checkpoint-conversion wiring shared by tools/convert_checkpoints.py
+    (offline converter) and tools/validate_real_weights.py (validation
+    runbook) — two copies of this dispatch had already drifted (the HF
+    whisper 'model.' prefix strip lived in only one of them)."""
+    if kind == "eva":
+        return {"text": convert_eva_text(sd), "vision": convert_eva_vision(sd)}
+    if kind == "clip_b32":
+        from hirest_tpu.models.openai_clip import (convert_clip_text,
+                                                   convert_clip_vision)
+
+        return {"text": convert_clip_text(sd), "vision": convert_clip_vision(sd)}
+    if kind == "clip4caption":
+        cfg = JointModelConfig()
+        return {"encoder": convert_visual_encoder(
+                    sd, cfg.visual.num_hidden_layers,
+                    cfg.visual.max_position_embeddings, prefix="visual."),
+                "decoder": convert_caption_decoder(
+                    sd, cfg.decoder.num_decoder_layers, prefix="decoder.")}
+    if kind == "whisper":
+        from hirest_tpu.models.whisper import (convert_whisper_decoder,
+                                               convert_whisper_encoder,
+                                               infer_whisper_config)
+
+        if any(k.startswith("model.") for k in sd):  # HF layout
+            sd = {k[len("model."):]: v for k, v in sd.items()
+                  if k.startswith("model.")}
+        cfg = infer_whisper_config(sd)  # any whisper size converts
+        return {"encoder": convert_whisper_encoder(sd, cfg),
+                "decoder": convert_whisper_decoder(sd, cfg)}
+    if kind == "minilm":
+        from hirest_tpu.models.minilm import convert_minilm
+
+        return {"encoder": convert_minilm(sd)}
+    if kind == "joint":
+        from hirest_tpu.config import HirestConfig
+
+        return {"params": convert_moment_model(
+            sd, HirestConfig().joint_model_config())}
+    raise ValueError(f"unknown checkpoint kind {kind!r}")

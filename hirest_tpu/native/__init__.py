@@ -17,7 +17,12 @@ from typing import Optional, Sequence
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_DIR, "libfeatpack.so")
+# fresh builds land in the UNTRACKED build/ dir and are preferred; the
+# committed baseline .so is only a no-compiler fallback. (A tracked .so
+# that gated the build on its own existence silently masked every
+# featpack.cpp edit.)
+_BUILD_PATH = os.path.join(_DIR, "build", "libfeatpack.so")
+_BASELINE_PATH = os.path.join(_DIR, "libfeatpack.so")
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
@@ -28,15 +33,19 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+    try:
+        # make no-ops when build/libfeatpack.so is newer than featpack.cpp
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        path = _BUILD_PATH
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        path = _BUILD_PATH if os.path.exists(_BUILD_PATH) else _BASELINE_PATH
+        if not os.path.exists(path):
             _build_failed = True
-            print(f"featpack native build failed ({e}); using NumPy fallback")
+            print("featpack native build failed and no baseline .so; "
+                  "using NumPy fallback")
             return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError as e:
         _build_failed = True
         print(f"featpack load failed ({e}); using NumPy fallback")
@@ -84,7 +93,10 @@ def pack_batch(features: Sequence[np.ndarray], bucket: int,
         for i, f in enumerate(features):
             f = np.ascontiguousarray(f, dtype=np.float32)
             if n_model_frames > 0:
-                f = resample_frames(f, n_model_frames)
+                # native resamples the WHOLE timeline to the bucket-capped
+                # count (featpack.cpp pack_batch) — truncating after a
+                # full resample would keep only the first part of the video
+                f = resample_frames(f, min(n_model_frames, bucket))
             n = min(f.shape[0], bucket)
             out[i, :n] = f[:n]
         return out
@@ -120,6 +132,10 @@ def trim_to_moment(feats: np.ndarray, mask: np.ndarray, target: int) -> np.ndarr
     if lib is None:
         from hirest_tpu.timeline import trim_to_moment as np_trim
 
+        if not np.any(mask):
+            # match the native path: an all-zero mask yields (target, dim)
+            # zeros, not a (0, dim) array that breaks downstream stacking
+            return np.zeros((target, feats.shape[1]), dtype=np.float32)
         return np_trim(feats, mask, target)
     feats = np.ascontiguousarray(feats, dtype=np.float32)
     mask = np.ascontiguousarray(mask, dtype=np.int32)

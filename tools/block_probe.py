@@ -348,11 +348,15 @@ def main():
                 out = compiled(x, xs)
             np.asarray(out)
             dt = (time.perf_counter() - start) / args.iters
-            tdir = os.path.join(args.hlodir, "trace-" + tag)
-            with jax.profiler.trace(tdir):
-                for _ in range(2):
-                    np.asarray(compiled(x, xs))
-            dev_ms = _device_ms_per_call(tdir)
+            # --trace <name> restricts profiler tracing to that variant;
+            # default (empty) traces every variant
+            dev_ms = 0.0
+            if not args.trace or args.trace == variant:
+                tdir = os.path.join(args.hlodir, "trace-" + tag)
+                with jax.profiler.trace(tdir):
+                    for _ in range(2):
+                        np.asarray(compiled(x, xs))
+                dev_ms = _device_ms_per_call(tdir)
             fps = args.batch / (dev_ms / 1e3) if dev_ms else args.batch / dt
             print(f"{tag:16s} device-ms/call={dev_ms:8.1f}  "
                   f"wall-ms/call={dt * 1e3:8.1f}  fps-dev={fps:6.1f}  "

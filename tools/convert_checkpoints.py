@@ -30,49 +30,12 @@ def main():
 
     from flax import serialization
 
-    from hirest_tpu.models.convert import load_torch_ckpt
+    from hirest_tpu.models.convert import (convert_checkpoint_tree,
+                                           load_torch_ckpt)
 
     sd = load_torch_ckpt(a.src)
 
-    if a.kind == "eva":
-        from hirest_tpu.models.convert import convert_eva_text, convert_eva_vision
-
-        tree = {"text": convert_eva_text(sd), "vision": convert_eva_vision(sd)}
-    elif a.kind == "clip_b32":
-        from hirest_tpu.models.openai_clip import convert_clip_text, convert_clip_vision
-
-        tree = {"text": convert_clip_text(sd), "vision": convert_clip_vision(sd)}
-    elif a.kind == "clip4caption":
-        from hirest_tpu.config import JointModelConfig
-        from hirest_tpu.models.convert import (convert_caption_decoder,
-                                               convert_visual_encoder)
-
-        cfg = JointModelConfig()
-        tree = {"encoder": convert_visual_encoder(
-                    sd, cfg.visual.num_hidden_layers,
-                    cfg.visual.max_position_embeddings, prefix="visual."),
-                "decoder": convert_caption_decoder(
-                    sd, cfg.decoder.num_decoder_layers, prefix="decoder.")}
-    elif a.kind == "whisper":
-        from hirest_tpu.models.whisper import (convert_whisper_decoder,
-                                               convert_whisper_encoder,
-                                               infer_whisper_config)
-
-        if any(k.startswith("model.") for k in sd):
-            sd = {k[len("model."):]: v for k, v in sd.items()
-                  if k.startswith("model.")}
-        cfg = infer_whisper_config(sd)  # any whisper size converts
-        tree = {"encoder": convert_whisper_encoder(sd, cfg),
-                "decoder": convert_whisper_decoder(sd, cfg)}
-    elif a.kind == "minilm":
-        from hirest_tpu.models.minilm import convert_minilm
-
-        tree = {"encoder": convert_minilm(sd)}
-    else:  # joint
-        from hirest_tpu.config import HirestConfig
-        from hirest_tpu.models.convert import convert_moment_model
-
-        tree = {"params": convert_moment_model(sd, HirestConfig().joint_model_config())}
+    tree = convert_checkpoint_tree(a.kind, sd)
 
     os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
     with open(a.out, "wb") as f:

@@ -28,7 +28,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import bench
     from hirest_tpu.models import eva_scan
 

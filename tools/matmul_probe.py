@@ -86,7 +86,9 @@ def main():
     import jax
 
     print(f"# devices: {jax.devices()}")
-    peak = 197e12
+    import bench
+
+    peak = bench.chip_peak_bf16()  # device-kind lookup, not a v5e constant
 
     cases = []
     for name, k, n in [("qkv", C, 3 * C), ("fc1", C, 6144), ("out", C, C)]:

@@ -9,22 +9,19 @@ mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
 # Lock out other TPU clients (bench.py waits on this): two concurrent
-# clients through the axon tunnel starve each other. Acquired atomically
-# (noclobber) so a second queue instance cannot steal a live lock; a stale
-# lock (dead pid) is reclaimed. Removed on ANY exit.
+# clients through the axon tunnel starve each other. flock(2) makes
+# acquisition AND crash-release kernel-atomic — no stale-pid reclaim step,
+# which was itself a race (two queues both observing a dead holder could
+# rm each other's fresh locks and both run). The pid is written into the
+# file for bench.py's waiter (kill -0 liveness probe); the file is removed
+# on clean exit so the waiter sees an immediate release.
 LOCK=/tmp/tpu_queue.lock
-if ! (set -o noclobber; echo $$ > "$LOCK") 2>/dev/null; then
-  holder=$(cat "$LOCK" 2>/dev/null)
-  if [ -n "$holder" ] && kill -0 "$holder" 2>/dev/null; then
-    echo "queue lock held by live pid $holder; refusing to run" >&2
-    exit 1
-  fi
-  rm -f "$LOCK"
-  if ! (set -o noclobber; echo $$ > "$LOCK") 2>/dev/null; then
-    echo "lost the lock race; refusing to run" >&2
-    exit 1
-  fi
+exec 9>>"$LOCK"
+if ! flock -n 9; then
+  echo "queue lock held by a live queue instance; refusing to run" >&2
+  exit 1
 fi
+echo $$ > "$LOCK"
 trap 'rm -f "$LOCK"' EXIT
 export TPU_QUEUE_OWNER=1  # our own bench step must not wait on our lock
 

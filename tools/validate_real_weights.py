@@ -54,7 +54,8 @@ def convert_all(args, outdir: str) -> dict:
     """Convert every supplied torch checkpoint; returns {kind: msgpack path}."""
     from flax import serialization
 
-    from hirest_tpu.models.convert import load_torch_ckpt
+    from hirest_tpu.models.convert import (convert_checkpoint_tree,
+                                           load_torch_ckpt)
 
     os.makedirs(outdir, exist_ok=True)
     converted = {}
@@ -66,35 +67,16 @@ def convert_all(args, outdir: str) -> dict:
         converted[kind] = path
         log(f"converted {kind} -> {path}")
 
-    if args.eva and os.path.exists(args.eva):
-        from hirest_tpu.models.convert import (convert_eva_text,
-                                               convert_eva_vision)
-        sd = load_torch_ckpt(args.eva)
-        save("eva", {"text": convert_eva_text(sd),
-                     "vision": convert_eva_vision(sd)})
-    if args.clip4caption and os.path.exists(args.clip4caption):
-        from hirest_tpu.config import JointModelConfig
-        from hirest_tpu.models.convert import (convert_caption_decoder,
-                                               convert_visual_encoder)
-        sd = load_torch_ckpt(args.clip4caption)
-        cfg = JointModelConfig()
-        save("clip4caption",
-             {"encoder": convert_visual_encoder(
-                  sd, cfg.visual.num_hidden_layers,
-                  cfg.visual.max_position_embeddings, prefix="visual."),
-              "decoder": convert_caption_decoder(
-                  sd, cfg.decoder.num_decoder_layers, prefix="decoder.")})
-    if args.whisper and os.path.exists(args.whisper):
-        from hirest_tpu.models.whisper import (convert_whisper_decoder,
-                                               convert_whisper_encoder,
-                                               infer_whisper_config)
-        src = args.whisper
-        if os.path.isdir(src):  # HF checkpoint dir
+    for kind, src in (("eva", args.eva), ("clip4caption", args.clip4caption),
+                      ("whisper", args.whisper)):
+        if not (src and os.path.exists(src)):
+            continue
+        if kind == "whisper" and os.path.isdir(src):  # HF checkpoint dir
             src = os.path.join(src, "pytorch_model.bin")
-        sd = load_torch_ckpt(src)
-        wcfg = infer_whisper_config(sd)
-        save("whisper", {"encoder": convert_whisper_encoder(sd, wcfg),
-                         "decoder": convert_whisper_decoder(sd, wcfg)})
+        # one shared dispatch with tools/convert_checkpoints.py (it also
+        # strips the HF whisper 'model.' prefix) — the runbook and the
+        # offline converter must produce identical msgpacks
+        save(kind, convert_checkpoint_tree(kind, load_torch_ckpt(src)))
     return converted
 
 
