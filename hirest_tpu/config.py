@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -213,10 +214,14 @@ class HirestConfig:
 
     @property
     def asr_dim(self) -> int:
-        """Infer the ASR embedding width from the feature dir name (reference run.py:45-49)."""
+        """Infer the ASR embedding width from the feature dir name
+        (reference run.py:45-49). Matched on the BASENAME only: an
+        unrelated ancestor directory containing 'clip' (e.g.
+        /data/clip4caption/asr_feats_minilm) must not silently flip the
+        model to 512-dim against 384-dim MiniLM files."""
         if not self.asr_feature_dir:
             return -1
-        name = self.asr_feature_dir.lower()
+        name = os.path.basename(os.path.normpath(self.asr_feature_dir)).lower()
         if "clip" in name:
             return 512
         if "minilm" in name:

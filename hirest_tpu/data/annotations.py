@@ -55,6 +55,13 @@ def build_examples(
 
             video_duration = round(video_ann["v_duration"])
             n_frames = n_model_frames if n_model_frames > 0 else video_duration
+            if n_frames < 1 or int(video_duration) < 1:
+                # sub-second video: zero timeline bins — every frame index
+                # would be invalid (timeline.timestamp_to_frame_index now
+                # raises rather than returning -1); no such videos exist in
+                # the shipped splits, but junk custom annotations must skip
+                # cleanly instead of corrupting targets
+                continue
 
             datum = {
                 "fname": video_fname,
@@ -101,12 +108,13 @@ def build_examples(
                         continue
                     for i in range(len(all_boundaries) - 1):
                         d = deepcopy(datum)
-                        step_start_frame = bin_of(all_boundaries[i])
-                        step_end_frame = bin_of(all_boundaries[i + 1])
+                        # boundaries are already converted once above —
+                        # re-running bin_of here was O(B^2) linspace builds
+                        step_start_frame = all_boundaries_frames[i]
+                        step_end_frame = all_boundaries_frames[i + 1]
 
                         prev = np.zeros(n_frames, dtype=np.int32)
-                        for b in all_boundaries[: i + 1]:
-                            prev[bin_of(b)] = 1
+                        prev[all_boundaries_frames[: i + 1]] = 1
                         d["prev_boundary_mask"] = prev
                         d["moment_segmentation_target"] = step_end_frame
 

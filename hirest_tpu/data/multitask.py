@@ -62,4 +62,11 @@ class MultitaskSchedule:
             try:
                 yield next(iters[task])
             except StopIteration:
-                continue
+                # reference parity (hirest_dataset.py:685-691): the epoch
+                # ENDS at the first exhausted task. Swallowing it would
+                # over-represent the larger tasks and make len(self)
+                # overstate the steps that actually run — which sizes the
+                # LR schedule (trainer.setup_optimizer(len(schedule))).
+                # Unreachable in roundrobin mode (slots == batch counts);
+                # it bites in balanced mode with uneven task sizes.
+                return

@@ -47,13 +47,16 @@ def timestamp_to_frame_index(timestamp: float, video_duration: float, n_frames: 
     `np.digitize(..., right=True)` boundary convention and the clamp to
     `n_frames - 1`.
     """
-    video_duration = int(video_duration)
-    if n_frames < 0:
-        n_frames = video_duration
-    bins = np.linspace(0, video_duration - 1, n_frames)
+    bins = timeline_bins(video_duration, n_frames)
+    if bins.size == 0:
+        # degenerate: duration truncates to 0 seconds — there is NO valid
+        # bin; min(digitize, n-1) would silently return -1, which indexes
+        # the last element of downstream arrays or corrupts class targets
+        raise ValueError(
+            f"video_duration={video_duration!r} yields zero timeline bins "
+            f"(n_frames={n_frames}); skip videos shorter than 1 second")
     bin_index = np.digitize(timestamp, bins, right=True)
-    bin_index = min(bin_index, n_frames - 1)
-    return int(bin_index)
+    return int(min(bin_index, bins.size - 1))
 
 
 def frame_index_to_timestamp(frame_index: int, video_duration: float, n_frames: int = -1) -> int:
@@ -62,11 +65,7 @@ def frame_index_to_timestamp(frame_index: int, video_duration: float, n_frames: 
     Parity with reference hirest_dataset.py:42-68, including the final
     `int()` truncation of the bin edge.
     """
-    video_duration = int(video_duration)
-    if n_frames < 0:
-        n_frames = video_duration
-    bins = np.linspace(0, video_duration - 1, n_frames)
-    return int(bins[frame_index])
+    return int(timeline_bins(video_duration, n_frames)[frame_index])
 
 
 def subsample_indices(n_source: int, n_target: int) -> np.ndarray:
@@ -98,6 +97,11 @@ def resample_frames(features: np.ndarray, n_target: int) -> np.ndarray:
     (hirest_dataset.py:333-354). Works on any array with time as axis 0.
     """
     n_source = features.shape[0]
+    if n_source == 0:
+        # numpy's integer //0 would silently yield an EMPTY result (with
+        # only a RuntimeWarning); zeros of the requested shape keep batch
+        # stacking well-formed, matching the reference's zeros behavior
+        return np.zeros((n_target,) + features.shape[1:], features.dtype)
     if n_source > n_target:
         return features[subsample_indices(n_source, n_target)]
     counts = repeat_upsample_counts(n_source, n_target)
@@ -134,6 +138,11 @@ def trim_to_moment(features: np.ndarray, moment_mask: np.ndarray, n_target: int)
     """
     z = features[moment_mask.astype(bool)]
     n = z.shape[0]
+    if n == 0:
+        # all-zero mask: (n_target, D) zeros, matching the reference
+        # trim_feats and the native featpack kernel (not a (0, D) array
+        # that breaks downstream np.stack)
+        return np.zeros((n_target,) + features.shape[1:], features.dtype)
     if n_target < n:
         return z[:n_target]
     counts = repeat_upsample_counts(n, n_target)
