@@ -126,3 +126,17 @@ def test_beam_first_step_uses_only_top_slot():
     table[:, EOS] = -10
     ids, _ = run_ours(table, batch=1, beam=3, max_words=1)
     assert ids[0, 0] == 5
+
+
+def test_beam_eos_runner_up_matches_oracle():
+    """EOS as the step-0 RUNNER-UP: the finished 1-token hypothesis
+    competes against live continuations — the trickiest finished-vs-live
+    ranking case. Pin exact oracle parity (the reference semantics keep
+    the live 5-path here, score and all)."""
+    table = np.zeros((2, VOCAB), dtype=np.float32)
+    table[0, 5] = 3.0
+    table[0, EOS] = 2.5
+    want = run_oracle(table, batch=1, beam=3, max_words=2)
+    ids, scores = run_ours(table, batch=1, beam=3, max_words=2)
+    assert ids[0].tolist() == want[0][0], (ids, want)
+    np.testing.assert_allclose(scores[0], want[0][1], rtol=1e-4)

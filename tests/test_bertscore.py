@@ -34,7 +34,10 @@ def test_bertscore_asymmetric_lengths():
     cm = np.ones((1, 3), bool)
     rm = np.ones((1, 7), bool)
     p, r, f = bertscore_pairs(cand, cm, ref, rm)
-    assert 0 <= f[0] <= 1.0 or f[0] > -1  # finite, defined
+    # cosine-bounded: F1 of cosine-valued P/R can never leave [-1, 1]
+    # (an exploded epsilon-clip denominator WOULD leave it)
+    assert -1.0 <= f[0] <= 1.0
+    assert np.isfinite(p[0]) and np.isfinite(r[0])
 
 
 @pytest.mark.slow

@@ -65,7 +65,9 @@ def test_param_shardings_tp_rules():
     out = sh["params"]["encoder"]["layer_0"]["ffn"]["output"]["kernel"]
     ln = sh["params"]["normalize_video"]["scale"]
     odd = sh["params"]["odd"]["ffn"]["intermediate"]["kernel"]
-    assert "model" in str(inter.spec) and str(inter.spec).index("model") > 0
+    # [in, hidden] kernel shards the HIDDEN (second) axis over 'model';
+    # compare the spec tuple directly (a str-index check was tautological)
+    assert tuple(inter.spec) == (None, "model"), inter.spec
     assert str(out.spec).startswith("PartitionSpec('model'")
     assert ln.spec == jax.sharding.PartitionSpec()
     assert odd.spec == jax.sharding.PartitionSpec()

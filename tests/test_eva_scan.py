@@ -84,6 +84,13 @@ def test_scanned_flat2d_matches_3d():
               fast_gelu=False)
     ref = np.asarray(build_scanned_vision_apply(params, cfg, **kw)(imgs))
     assert not np.allclose(ref, 0)
+    # anchor the pallas-v1 ref to the pure-XLA tower AT THE SAME DIMS: the
+    # variant asserts below compare pallas kernels against each other, so
+    # without this a systematic error in their shared plumbing would pass
+    xla = np.asarray(build_scanned_vision_apply(
+        params, cfg, use_pallas=False, dtype=jnp.float32,
+        fast_gelu=False)(imgs))
+    np.testing.assert_allclose(xla, ref, rtol=2e-4, atol=2e-4)
     for ver in ({}, {"attn_v2": True}, {"attn_v3": True}):
         out = np.asarray(build_scanned_vision_apply(
             params, cfg, flat2d=True, **ver, **kw)(imgs))

@@ -67,10 +67,18 @@ def test_upsample_linspace_semantics(tmp_path):
     # The VR path repeats frames via linspace when the video is SHORTER than
     # n_model_frames (unconditional linspace, unlike the training resampler).
     fdir = tmp_path
-    feats = np.arange(4, dtype=np.float32)[:, None] * np.ones((1, 8), np.float32)
+    # one-hot rows: the repeat COUNTS become the mean-pool direction, so a
+    # wrong upsample (zero-pad, truncate, equal-repeat) changes the
+    # normalized embedding — a constant-direction construction would
+    # normalize any scalar error away
+    feats = np.eye(4, 8, dtype=np.float32)
     np.save(fdir / "x.mp4.npy", feats)
     emb = encode_videos_from_features(str(fdir), ["x.mp4"], n_model_frames=8)
     assert emb.shape == (1, 8)
+    # linspace(0,3,8).astype(int) = [0,0,0,1,1,2,2,3] -> counts [3,2,2,1]
+    expect = np.array([3, 2, 2, 1, 0, 0, 0, 0], np.float32)
+    expect /= np.linalg.norm(expect)
+    np.testing.assert_allclose(emb[0], expect, rtol=1e-5, atol=1e-6)
 
 
 def test_encode_videos_from_frames(tmp_path):

@@ -44,6 +44,10 @@ def test_flat_scores_expand_to_whole_moment():
     fn = make_score_fn(peaks)
     out = iterative_segmentation(fn, np.array([[4, 25]]), T, 0.5, max_iterations=2)
     assert out[0][0] in (3, 4)  # expansion may overshoot one masked frame
+    # the RIGHT edge must expand too: without it 'expand to whole moment'
+    # passes even when the expansion loop is dead
+    assert out[0][-1] in (24, 25, 26), out[0]
+    assert len(out[0]) >= 2
 
 
 def test_batch_independence():

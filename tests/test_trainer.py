@@ -123,10 +123,12 @@ def test_trainer_end_to_end(env):
             if a["relevant"] and a["clip"] and a["steps"]:
                 seg_gt[v] = {"bounds": [s["absolute_bounds"] for s in a["steps"]]}
     seg_pred = {v: ms[v] for v in seg_gt if v in ms}
-    if seg_pred:
-        res = compute_step_bound_scores(seg_gt, {v: seg_pred.get(v, {"bounds": []})
-                                                 for v in seg_gt})
-        assert "recall" in res["all"]
+    # a dead segmentation pipeline must FAIL here, not skip the only
+    # segmentation assertion
+    assert seg_pred, f"no segmentation predictions for {sorted(seg_gt)}"
+    res = compute_step_bound_scores(seg_gt, {v: seg_pred.get(v, {"bounds": []})
+                                             for v in seg_gt})
+    assert "recall" in res["all"]
 
     sc = results["step_captioning"]
     some_video = next(k for k in sc if k != "loss")
