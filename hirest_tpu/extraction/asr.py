@@ -308,3 +308,49 @@ def embed_srt_dir(srt_dir: str, out_dir: str, encoder: str = "minilm_jax",
         np.save(out, embs)
         n += 1
     return n
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="ASR transcription / embedding (reference "
+                    "extraction/whisper_ASR/extract_ASR[_embedding].py "
+                    "parity; --embed switches to the embedding step)")
+    p.add_argument("--audio_dir", type=str, help="input .wav dir (transcribe)")
+    p.add_argument("--asr_dir", type=str, required=True,
+                   help="SRT dir (output of transcribe, input of --embed)")
+    p.add_argument("--save_dir", type=str, help="embedding output dir (--embed)")
+    p.add_argument("--model", type=str, default="small.en",
+                   help="whisper size (whisper-package path) or HF ckpt "
+                        "dir/.bin (TPU-native path when --ckpt given)")
+    p.add_argument("--ckpt", type=str, default="",
+                   help="flax-convertible whisper checkpoint: use the "
+                        "TPU-native transcriber (whisper-package-free)")
+    p.add_argument("--vocab", type=str, default="",
+                   help="vocab.json for the full decoding rules (with --ckpt)")
+    p.add_argument("--merges", type=str, default="",
+                   help="merges.txt for the full decoding rules (with --ckpt)")
+    p.add_argument("--embed", action="store_true",
+                   help="embed existing SRTs instead of transcribing")
+    p.add_argument("--encoder", type=str, default="minilm_jax",
+                   choices=["minilm_jax", "minilm"])
+    p.add_argument("--pretrained_dir", type=str, default="./pretrained_weights")
+    a = p.parse_args()
+
+    if a.embed:
+        if not a.save_dir:
+            p.error("--embed needs --save_dir")
+        n = embed_srt_dir(a.asr_dir, a.save_dir, encoder=a.encoder,
+                          pretrained_dir=a.pretrained_dir)
+        print(f"embedded {n} transcripts -> {a.save_dir}")
+    else:
+        if not a.audio_dir:
+            p.error("transcription needs --audio_dir")
+        if a.ckpt:
+            n = transcribe_audio_dir_jax(a.audio_dir, a.asr_dir, a.ckpt,
+                                         vocab_path=a.vocab or None,
+                                         merges_path=a.merges or None)
+        else:
+            n = transcribe_audio_dir(a.audio_dir, a.asr_dir, model_name=a.model)
+        print(f"transcribed {n} files -> {a.asr_dir}")

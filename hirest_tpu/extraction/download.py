@@ -35,3 +35,37 @@ def download_videos(video_ids, out_dir: str) -> int:
         except Exception as e:  # per-video failures are logged, not fatal
             print(f"download failed for {vid}: {e}")
     return n
+
+
+def _ids_from_splits(data_folder: str) -> list:
+    """Collect video ids from the split JSONs (reference
+    download_videos.py reads all_data_*.json and downloads every video)."""
+    import json
+
+    ids = []
+    seen = set()
+    for split_file in sorted(Path(data_folder).glob("all_data_*.json")):
+        with open(split_file) as f:
+            anns = json.load(f)
+        for vids in anns.values():
+            for fname in vids:
+                vid = fname[:-4] if fname.endswith(".mp4") else fname
+                if vid not in seen:
+                    seen.add(vid)
+                    ids.append(vid)
+    return ids
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Download HiREST videos (reference "
+                    "extraction/video_features/download_videos.py parity)")
+    p.add_argument("--data_folder", type=str, default="./data/splits/")
+    p.add_argument("--save_path", type=str, default="./data/videos/")
+    a = p.parse_args()
+    ids = _ids_from_splits(a.data_folder)
+    print(f"{len(ids)} videos listed in {a.data_folder}")
+    n = download_videos(ids, a.save_path)
+    print(f"{n} videos present in {a.save_path}")
