@@ -34,6 +34,13 @@ run() {
   [ $rc -ne 0 ] && FAILED=1
   echo "=== $name done rc=$rc ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
   grep -v Warning "$OUT/$name.log" | tail -8
+  # commit incrementally merged results after EVERY step: a tunnel flap
+  # mid-queue (three rounds of history) must not discard what did measure
+  if ! git diff --quiet -- BENCH_LAST_GOOD.json 2>/dev/null; then
+    git add BENCH_LAST_GOOD.json
+    git commit -m "bench: on-chip results through step $name" \
+      --only BENCH_LAST_GOOD.json >> "$OUT/queue.log" 2>&1 || true
+  fi
 }
 
 # 0. production bench FIRST (the headline number; probes after)
@@ -68,6 +75,11 @@ run padded_v3 python bench.py --padded-heads --bf16 --flat2d --attn-v3 \
 #    and retrieval queries/sec, refreshed post-kernel-changes
 run latency python bench.py --latency
 run vr python bench.py --vr
+
+# 3b. end-to-end extraction duty cycle (VERDICT r4 #8): host JPEG decode ->
+#     uint8 transfer -> device encode with prefetch overlap — the honest
+#     number for what extract_features.py actually does under the tunnel
+run e2e python bench.py --e2e --no-cache
 
 # 4. persist the round's on-chip numbers in the repo so a later tunnel
 #    outage degrades the bench signal instead of zeroing it (VERDICT r3 #2)
