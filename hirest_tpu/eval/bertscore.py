@@ -109,15 +109,11 @@ def make_hf_entailment_fn(model_dir: str, label_order=("entailment",
     from transformers import (AutoModelForSequenceClassification,
                               AutoTokenizer)
 
+    from hirest_tpu.models.nli import nli_label_remap
+
     tok = AutoTokenizer.from_pretrained(model_dir)
     model = AutoModelForSequenceClassification.from_pretrained(model_dir).eval()
-    id2label = {i: l.lower() for i, l in model.config.id2label.items()}
-    remap = {}
-    for idx, label in id2label.items():
-        for j, want in enumerate(label_order):
-            if want.startswith(label[:6]) or label.startswith(want[:6]):
-                remap[idx] = j
-    assert len(remap) == len(id2label), f"unmapped NLI labels: {id2label}"
+    remap = nli_label_remap(dict(model.config.id2label), label_order)
 
     def entailment(premise: str, hypothesis: str) -> int:
         with torch.no_grad():

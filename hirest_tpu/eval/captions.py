@@ -39,6 +39,18 @@ def evaluate_step_captions(
     categories = categories or Categories.single()
     coco_evaluator = coco_evaluator or CocoEvaluator()
 
+    if entailment_fn is None:
+        # the reference ALWAYS reports this metric (evaluate.py:197-201);
+        # omitting it must be loud, never silent
+        import sys
+
+        print("WARNING: Entailment/Contradiction/Netural SKIPPED - no "
+              "entailment_fn. Place an HF BERT NLI checkpoint at "
+              "./pretrained_weights/nli (pytorch_model.bin + config.json + "
+              "vocab.txt) for the in-repo flax scorer "
+              "(hirest_tpu.models.nli), or inject entailment_fn.",
+              file=sys.stderr)
+
     all_results = {}
     for cat in categories.names:
         refs: list[str] = []

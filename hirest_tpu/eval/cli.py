@@ -100,12 +100,20 @@ def _try_build_bertscore(pretrained_dir: str = "./pretrained_weights"):
 
 
 def _try_build_entailment(pretrained_dir: str = "./pretrained_weights"):
-    """NLI entailment plugin when a local HF NLI model dir exists."""
+    """Entailment scorer (reference evaluate.py:197-201): the flax NLI
+    cross-encoder for BERT-architecture checkpoints (default), falling back
+    to the torch HF plugin for other architectures (RoBERTa/DeBERTa NLI)."""
     nli_dir = os.path.join(pretrained_dir, "nli")
     if os.path.isdir(nli_dir):
-        from hirest_tpu.eval.bertscore import make_hf_entailment_fn
+        try:
+            from hirest_tpu.models.nli import make_nli_entailment_fn
 
-        return make_hf_entailment_fn(nli_dir)
+            return make_nli_entailment_fn(nli_dir)
+        except Exception as e:
+            print(f"flax NLI path unavailable ({e}); trying torch plugin")
+            from hirest_tpu.eval.bertscore import make_hf_entailment_fn
+
+            return make_hf_entailment_fn(nli_dir)
     print("Entailment disabled: no NLI model at", nli_dir)
     return None
 

@@ -43,7 +43,8 @@ class MiniLmEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
-                 pool: bool = True) -> jnp.ndarray:
+                 pool: bool = True,
+                 token_type_ids: jnp.ndarray | None = None) -> jnp.ndarray:
         cfg = self.config
         b, length = input_ids.shape
         x = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings",
@@ -52,7 +53,13 @@ class MiniLmEncoder(nn.Module):
                          (cfg.max_position_embeddings, cfg.hidden_size))
         tok_type = self.param("token_type_embeddings", nn.initializers.normal(0.02),
                               (cfg.type_vocab_size, cfg.hidden_size))
-        x = x + pos[None, :length].astype(self.dtype) + tok_type[0].astype(self.dtype)
+        # segment embeddings: sentence-pair callers (the NLI cross-encoder)
+        # pass explicit ids; single-sentence callers keep the all-zeros path
+        if token_type_ids is None:
+            seg = tok_type[0].astype(self.dtype)
+        else:
+            seg = tok_type.astype(self.dtype)[token_type_ids]
+        x = x + pos[None, :length].astype(self.dtype) + seg
         x = nn.LayerNorm(epsilon=cfg.norm_eps, name="emb_LayerNorm",
                          dtype=self.dtype)(x)
 
