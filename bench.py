@@ -229,16 +229,24 @@ def _ensure_bench_frames(n_frames: int, size=(640, 360)):
 
     from PIL import Image
 
-    root = Path(f"/tmp/hirest_bench_frames_v1/{size[0]}x{size[1]}_{n_frames}")
+    root = Path(f"/tmp/hirest_bench_frames_v2/{size[0]}x{size[1]}_{n_frames}")
     video = root / "video0"
     done = root / ".done"
     if done.exists():
         return root
     video.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(0)
-    base = rng.integers(0, 255, size=(24, 40, 3), dtype=np.uint8)
+    # a 2D roll gives rows*cols = 1536 distinct source patterns (a 1D roll
+    # cycles after just 24 frames, silently shrinking the working set for
+    # anything content-addressed); structural shifts survive JPEG
+    # quantization where a stamped pixel would not
+    base = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+    n_unique = base.shape[0] * base.shape[1]
+    assert n_frames <= n_unique, (
+        f"frame synthesis guarantees uniqueness only up to {n_unique}")
     for i in range(n_frames):
-        arr = np.roll(base, i % base.shape[0], axis=0)
+        arr = np.roll(np.roll(base, i % base.shape[0], axis=0),
+                      i // base.shape[0], axis=1)
         img = Image.fromarray(arr).resize(size, Image.BICUBIC)
         img.save(video / f"frame_{i + 1:010d}.jpg", quality=85)
     done.touch()
@@ -401,20 +409,24 @@ def _active_metric_name() -> str:
     return "eva_clip_frames_per_sec_per_chip"
 
 
-def _physics_context() -> dict:
-    """Roofline fields for the fps metric, CPU-computable (no device):
-    the 10k fps/chip target is ~27x beyond the bf16 100%-MFU bound for
-    this model on v5e, so a raw vs_baseline of ~0.02 IS near-ceiling —
-    these fields put that context in every JSON the driver reads
-    (VERDICT r4 weak #2). Peak basis is v5e bf16 (197 TF/s), the chip
-    every committed number was measured on."""
+def _physics_context(peak_tf: float = 197.0) -> dict:
+    """Roofline fields for the fps metric: the 10k fps/chip target is ~27x
+    beyond the bf16 100%-MFU bound for this model on v5e, so a raw
+    vs_baseline of ~0.02 IS near-ceiling — these fields put that context in
+    every JSON the driver reads (VERDICT r4 weak #2).
+
+    `peak_tf` is the bf16 peak the numbers are computed against: live
+    bench runs pass the runtime chip's peak (chip_peak_bf16()/1e12) so
+    ceilings and mfu share one basis; the fail-fast path (no device to
+    probe) keeps the v5e default, the chip every committed number was
+    measured on, and the basis is named in the JSON either way."""
     try:
         tf = eva_useful_tflops_per_frame()
     except Exception:
         tf = 0.534063  # analytic EVA-g/14 @224 value (same function)
-    peak_tf = 197.0
     return {
         "useful_tflops_per_frame": round(tf, 4),
+        "peak_basis_bf16_tflops": round(peak_tf, 1),
         "bf16_ceiling_fps": round(peak_tf / tf, 1),
         "int8_ceiling_fps": round(2 * peak_tf / tf, 1),
         "target_note": (
@@ -422,7 +434,8 @@ def _physics_context() -> dict:
             f"{10000 * tf / peak_tf:.1f}x the bf16 100%-MFU bound "
             f"({peak_tf / tf:.1f} fps) and "
             f"{10000 * tf / (2 * peak_tf):.1f}x the int8 bound for this "
-            f"model on v5e; mfu is the physics-honest score (basis: bf16 peak)"),
+            f"model at {peak_tf:.0f} TF/s bf16 peak; mfu is the "
+            f"physics-honest score (basis: bf16 peak)"),
     }
 
 
@@ -503,8 +516,9 @@ def _fail_fast(error: str):
         fail.update(phys)
         lm = fail.get("last_measured")
         if lm and "mfu" not in lm and lm.get("value"):
-            lm["mfu"] = round(
-                lm["value"] * phys["useful_tflops_per_frame"] / 197.0, 4)
+            # backfill basis = the same v5e peak phys uses (all committed
+            # pre-round-5 numbers were measured on v5e)
+            lm["mfu"] = round(lm["value"] / phys["bf16_ceiling_fps"], 4)
     # flush=True is LOAD-BEARING: the queue/driver pipe stdout to a log
     # file (block-buffered), and os._exit skips the interpreter's flush —
     # without it the fail-fast JSON silently vanishes on exactly the
@@ -755,7 +769,7 @@ def main():
                         "mfu": round(mfu, 4),
                         "config": {"batch": b, "config": tag,
                                    "precision": "int8" if int8 else "bf16"},
-                        **_physics_context(),
+                        **_physics_context(peak / 1e12),
                     }
                 _record_config_result(tag, b, fps, mfu, headline)
 
@@ -782,7 +796,7 @@ def main():
         "vs_baseline": round(best / BASELINE_FPS, 4),
         "mfu": round(best * tf_per_frame * 1e12 / peak, 4),
         "config": best_cfg,
-        **_physics_context(),
+        **_physics_context(peak / 1e12),
     }
     print(json.dumps(result))
     # --experiment: a forced single-config probe run (e.g. padded-heads)

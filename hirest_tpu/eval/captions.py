@@ -77,12 +77,21 @@ def evaluate_step_captions(
                     refs.append(gt_sent)
                     cands.append(cand)
 
-                    if entailment_fn is not None:
-                        entail_idx = int(entailment_fn(gt_sent, cand))
-                        entailment_scores[entail_idx] += 1
-                        total_entailment_count += 1
-
             clip_scores.extend(vid_clip_scores)
+
+        # score all (gt, pred) pairs of the category at once when the
+        # scorer exposes a batched surface (hirest_tpu.models.nli does):
+        # one padded dispatch per 256 pairs instead of one blocking
+        # [1, L] device round trip per caption pair
+        if entailment_fn is not None and refs:
+            batched = getattr(entailment_fn, "batch", None)
+            if batched is not None:
+                labels = batched(list(zip(refs, cands)))
+            else:
+                labels = [entailment_fn(g, c) for g, c in zip(refs, cands)]
+            for k in labels:
+                entailment_scores[int(k)] += 1
+            total_entailment_count = len(labels)
 
         if not refs or not cands:
             continue

@@ -27,9 +27,15 @@ from hirest_tpu.config import DecoderConfig, EvaTextConfig, EvaVisionConfig, Joi
 
 
 def load_torch_ckpt(path: str) -> dict:
-    """Load a torch checkpoint into a flat {key: np.ndarray} dict (host-side)."""
+    """Load a torch checkpoint (.bin/.pt or .safetensors — the current
+    transformers save default) into a flat {key: np.ndarray} dict (host-side)."""
     import torch
 
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return {k: np.asarray(v, dtype=np.float32)
+                for k, v in load_file(path).items()}
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]

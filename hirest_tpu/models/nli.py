@@ -95,9 +95,14 @@ def _hf_bert_config(model_dir: str) -> tuple[MiniLmConfig, dict]:
         type_vocab_size=hf.get("type_vocab_size", 2),
         norm_eps=hf.get("layer_norm_eps", 1e-12),
     )
-    id2label = hf.get("id2label") or {0: "entailment", 1: "contradiction",
-                                      2: "neutral"}
-    return cfg, {int(k): v for k, v in dict(id2label).items()}
+    id2label = hf.get("id2label")
+    if id2label:
+        id2label = {int(k): v for k, v in dict(id2label).items()}
+        if all(str(v).lower().startswith("label_") for v in id2label.values()):
+            # transformers auto-fills LABEL_0/LABEL_1/... when the fine-tune
+            # never set real names — that carries no order information
+            id2label = None
+    return cfg, id2label
 
 
 def encode_pair(tok, premise: str, hypothesis: str, max_length: int):
@@ -119,32 +124,76 @@ def encode_pair(tok, premise: str, hypothesis: str, max_length: int):
 
 
 def make_nli_entailment_fn(model_dir: str, max_length: int = 128,
-                           label_order=REFERENCE_LABEL_ORDER):
+                           label_order=REFERENCE_LABEL_ORDER,
+                           id2label: dict | None = None):
     """Build the evaluator's ``entailment_fn`` plugin surface —
     ``fn(premise, hypothesis) -> index into (entail, contradict, neutral)``
-    — on the flax cross-encoder, from an HF model dir (pytorch_model.bin /
-    model.bin + config.json + vocab.txt). Jitted at a fixed [1, max_length]
-    shape so per-pair calls never recompile."""
+    — on the flax cross-encoder, from an HF model dir (model.safetensors /
+    pytorch_model.bin / model.bin + config.json + vocab.txt).
+
+    The returned fn also exposes ``fn.batch(pairs) -> list[int]``, which the
+    evaluator prefers: pairs are scored in padded power-of-two buckets
+    (chunked at 256) so thousands of caption pairs cost dozens of jitted
+    dispatches instead of one blocking [1, L] round trip each — per-call
+    relay latency dominates a tiny forward through the axon tunnel.
+
+    ``id2label`` overrides the checkpoint's label order for config.jsons
+    that carry none; guessing one silently swaps Entailment and
+    Contradiction (MNLI's order is contradiction/neutral/entailment, the
+    reference's is entailment/contradiction/neutral), so absent both we
+    fail loudly instead."""
     import jax
 
     from hirest_tpu.models.convert import load_torch_ckpt
     from hirest_tpu.tokenizers import WordPieceTokenizer
 
-    cfg, id2label = _hf_bert_config(model_dir)
+    cfg, ckpt_id2label = _hf_bert_config(model_dir)
+    if id2label is not None:
+        id2label = {int(k): v for k, v in dict(id2label).items()}
+    else:
+        id2label = ckpt_id2label
+    if id2label is None:
+        raise ValueError(
+            f"{model_dir}/config.json carries no informative id2label and "
+            f"none was passed; NLI fine-tunes disagree on class order, so "
+            f"guessing would silently swap Entailment and Contradiction. "
+            f"Pass id2label=, e.g. "
+            f"{{0: 'contradiction', 1: 'neutral', 2: 'entailment'}} (MNLI).")
     remap = nli_label_remap(id2label, label_order)
-    ckpt = next(os.path.join(model_dir, n)
-                for n in ("pytorch_model.bin", "model.bin", "model.pt")
-                if os.path.exists(os.path.join(model_dir, n)))
+    names = ("model.safetensors", "pytorch_model.bin", "model.bin", "model.pt")
+    ckpt = next((os.path.join(model_dir, n) for n in names
+                 if os.path.exists(os.path.join(model_dir, n))), None)
+    if ckpt is None:
+        raise FileNotFoundError(
+            f"no NLI checkpoint in {model_dir}; expected one of {names}")
     tok = WordPieceTokenizer(os.path.join(model_dir, "vocab.txt"))
     model = NliCrossEncoder(cfg, num_labels=len(id2label))
     params = {"params": convert_nli(load_torch_ckpt(ckpt), cfg)}
     apply = jax.jit(lambda p, ids, mask, types: model.apply(p, ids, mask, types))
+    # pad rows get a bare [CLS][SEP][SEP] encoding (not an all-zero mask,
+    # which would softmax over an empty row); their logits are discarded
+    pad_row = encode_pair(tok, "", "", max_length)
+
+    def batch(pairs) -> list:
+        out = []
+        for lo in range(0, len(pairs), 256):
+            chunk = pairs[lo:lo + 256]
+            n = len(chunk)
+            cap = max(8, 1 << (n - 1).bit_length())
+            ids = np.tile(pad_row[0], (cap, 1))
+            types = np.tile(pad_row[1], (cap, 1))
+            mask = np.tile(pad_row[2], (cap, 1))
+            for i, (premise, hypothesis) in enumerate(chunk):
+                ids[i], types[i], mask[i] = encode_pair(
+                    tok, premise, hypothesis, max_length)
+            logits = np.asarray(apply(params, jnp.asarray(ids),
+                                      jnp.asarray(mask),
+                                      jnp.asarray(types)))[:n]
+            out.extend(remap[int(k)] for k in logits.argmax(1))
+        return out
 
     def entailment(premise: str, hypothesis: str) -> int:
-        ids, types, mask = encode_pair(tok, premise, hypothesis, max_length)
-        logits = np.asarray(apply(params, jnp.asarray(ids[None]),
-                                  jnp.asarray(mask[None]),
-                                  jnp.asarray(types[None])))[0]
-        return remap[int(logits.argmax())]
+        return batch([(premise, hypothesis)])[0]
 
+    entailment.batch = batch
     return entailment

@@ -202,3 +202,25 @@ def test_tunnel_down_failfast_attaches_last_measured(monkeypatch, tmp_path):
             bench._require_device(timeout_s=0.0)
     out = json.loads(buf.getvalue())
     assert "last_measured" not in out and "last_measured_all" not in out
+
+
+def test_physics_context_chip_aware_peak():
+    """Live runs pass the runtime chip's peak so mfu and the ceilings in
+    one JSON share a basis (a v4's 275 TF/s is not v5e's 197)."""
+    phys = bench._physics_context(275.0)
+    assert phys["peak_basis_bf16_tflops"] == 275.0
+    assert phys["bf16_ceiling_fps"] == pytest.approx(
+        275.0 / phys["useful_tflops_per_frame"], rel=1e-3)
+    assert "275 TF/s" in phys["target_note"]
+    # default (fail-fast, no device to probe) stays the documented v5e basis
+    assert bench._physics_context()["peak_basis_bf16_tflops"] == 197.0
+
+
+def test_bench_frames_are_unique(tmp_path, monkeypatch):
+    """The synthesis docstring guarantees byte-distinct JPEGs; a 1D roll
+    cycled after 24 frames (round-5 review finding)."""
+    root = bench._ensure_bench_frames(n_frames=40, size=(64, 36))
+    jpgs = sorted((root / "video0").glob("*.jpg"))
+    assert len(jpgs) == 40
+    blobs = {p.read_bytes() for p in jpgs}
+    assert len(blobs) == 40, "frames repeat within the first 40"

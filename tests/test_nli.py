@@ -152,3 +152,107 @@ def test_step_captions_warns_loudly_without_entailment(capsys):
     err = capsys.readouterr().err
     assert "SKIPPED" not in err
     assert out["all"]["Entailment"] == 100.0
+
+
+def _write_hf_dir(d, hf_nli, id2label=HF_LABELS, fmt="bin"):
+    d.mkdir(exist_ok=True)
+    if fmt == "safetensors":
+        from safetensors.numpy import save_file
+
+        save_file({k: v.detach().numpy().copy()
+                   for k, v in hf_nli.state_dict().items()},
+                  str(d / "model.safetensors"))
+    else:
+        torch.save(hf_nli.state_dict(), d / "pytorch_model.bin")
+    cfg = {"model_type": "bert", "vocab_size": CFG.vocab_size,
+           "hidden_size": CFG.hidden_size,
+           "num_hidden_layers": CFG.num_hidden_layers,
+           "num_attention_heads": CFG.num_attention_heads,
+           "intermediate_size": CFG.intermediate_size,
+           "max_position_embeddings": CFG.max_position_embeddings,
+           "type_vocab_size": 2, "layer_norm_eps": 1e-12}
+    if id2label is not None:
+        cfg["id2label"] = {str(k): v for k, v in id2label.items()}
+    json.dump(cfg, open(d / "config.json", "w"))
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "cat", "sat",
+             "dog", "ran", "a", "on", "mat"]
+    words += [f"w{i}" for i in range(CFG.vocab_size - len(words))]
+    (d / "vocab.txt").write_text("\n".join(words) + "\n")
+    return d
+
+
+def test_safetensors_checkpoint_loads_and_matches_bin(hf_nli, tmp_path):
+    """Modern transformers saves model.safetensors only; the flax path must
+    serve it identically to the .bin layout (round-5 review finding)."""
+    from hirest_tpu.models.nli import make_nli_entailment_fn
+
+    fn_st = make_nli_entailment_fn(
+        str(_write_hf_dir(tmp_path / "st", hf_nli, fmt="safetensors")),
+        max_length=32)
+    fn_bin = make_nli_entailment_fn(
+        str(_write_hf_dir(tmp_path / "bin", hf_nli)), max_length=32)
+    pairs = [("the cat sat", "a dog ran"), ("a dog ran", "a dog ran on a mat")]
+    assert fn_st.batch(pairs) == fn_bin.batch(pairs)
+
+
+def test_missing_id2label_raises_and_override_works(hf_nli, tmp_path):
+    """No informative id2label must fail loudly — a guessed order can swap
+    Entailment and Contradiction — and an explicit override must work."""
+    from hirest_tpu.models.nli import make_nli_entailment_fn
+
+    d = _write_hf_dir(tmp_path / "nolabels", hf_nli, id2label=None)
+    with pytest.raises(ValueError, match="id2label"):
+        make_nli_entailment_fn(str(d), max_length=32)
+    # transformers' LABEL_0-style autofill carries no order info either
+    d2 = _write_hf_dir(tmp_path / "autolabels", hf_nli,
+                       id2label={0: "LABEL_0", 1: "LABEL_1", 2: "LABEL_2"})
+    with pytest.raises(ValueError, match="id2label"):
+        make_nli_entailment_fn(str(d2), max_length=32)
+    fn = make_nli_entailment_fn(str(d), max_length=32, id2label=HF_LABELS)
+    ref = make_nli_entailment_fn(
+        str(_write_hf_dir(tmp_path / "labeled", hf_nli)), max_length=32)
+    assert fn("the cat sat", "a dog ran") == ref("the cat sat", "a dog ran")
+
+
+def test_missing_checkpoint_raises_filenotfound(hf_nli, tmp_path):
+    from hirest_tpu.models.nli import make_nli_entailment_fn
+
+    d = _write_hf_dir(tmp_path / "empty", hf_nli)
+    (d / "pytorch_model.bin").unlink()
+    with pytest.raises(FileNotFoundError, match="model.safetensors"):
+        make_nli_entailment_fn(str(d), max_length=32)
+
+
+def test_batch_matches_per_pair_and_evaluator_uses_it(hf_nli, tmp_path):
+    """fn.batch must agree with per-pair calls (pad rows discarded), and
+    evaluate_step_captions must route through it when present."""
+    from hirest_tpu.eval.captions import evaluate_step_captions
+    from hirest_tpu.models.nli import make_nli_entailment_fn
+
+    fn = make_nli_entailment_fn(
+        str(_write_hf_dir(tmp_path / "nli", hf_nli)), max_length=32)
+    pairs = [("the cat sat on a mat", "a dog ran"),
+             ("a dog ran", "the cat sat"),
+             ("the cat", "the cat"),
+             ("a on the", "mat mat mat"),
+             ("sat sat", "ran ran a")]
+    assert fn.batch(pairs) == [fn(p, h) for p, h in pairs]
+
+    calls = {"batch": 0, "single": 0}
+
+    def single(p, h):
+        calls["single"] += 1
+        return 0
+
+    def batched(ps):
+        calls["batch"] += 1
+        return [0] * len(ps)
+
+    single.batch = batched
+    gt = {"v1": {"captions": [{"sentence": "Pour the water"},
+                              {"sentence": "Stir the pot"}]}}
+    pred = {"v1": {"captions": [{"sentence": "pour the water"},
+                                {"sentence": "stir it"}]}}
+    out = evaluate_step_captions(gt, pred, entailment_fn=single)
+    assert calls == {"batch": 1, "single": 0}
+    assert out["all"]["Entailment"] == 100.0
