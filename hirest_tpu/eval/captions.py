@@ -39,6 +39,20 @@ def evaluate_step_captions(
     categories = categories or Categories.single()
     coco_evaluator = coco_evaluator or CocoEvaluator()
 
+    # the reference requires predictions to cover every GT video and every
+    # caption slot (evaluate.py:229-234 indexes pred[video]["captions"][i]
+    # unconditionally and dies on a bare KeyError); same contract here, but
+    # diagnosed up front with the offending videos named
+    missing = [v for v in gt
+               if v not in pred
+               or len(pred[v].get("captions", [])) < len(gt[v]["captions"])]
+    if missing:
+        raise ValueError(
+            f"predictions must cover every GT video and caption slot "
+            f"(reference contract); {len(missing)}/{len(gt)} GT videos "
+            f"missing or short in predictions, e.g. {missing[:5]} — score "
+            f"against a GT restricted to the predicted split instead")
+
     if entailment_fn is None:
         # the reference ALWAYS reports this metric (evaluate.py:197-201);
         # omitting it must be loud, never silent

@@ -256,3 +256,19 @@ def test_batch_matches_per_pair_and_evaluator_uses_it(hf_nli, tmp_path):
     out = evaluate_step_captions(gt, pred, entailment_fn=single)
     assert calls == {"batch": 1, "single": 0}
     assert out["all"]["Entailment"] == 100.0
+
+
+def test_step_captions_coverage_error_names_missing_videos():
+    """GT videos absent from predictions must fail with a diagnostic (the
+    reference dies on a bare KeyError at the same spot: evaluate.py:234)."""
+    from hirest_tpu.eval.captions import evaluate_step_captions
+
+    gt = {"v1": {"captions": [{"sentence": "Pour the water"}]},
+          "v2": {"captions": [{"sentence": "Stir"}, {"sentence": "Serve"}]}}
+    pred = {"v1": {"captions": [{"sentence": "pour"}]},
+            "v2": {"captions": [{"sentence": "stir"}]}}  # one slot short
+    with pytest.raises(ValueError, match="v2"):
+        evaluate_step_captions(gt, pred)
+    pred["v2"]["captions"].append({"sentence": "serve"})
+    out = evaluate_step_captions(gt, pred)
+    assert out["all"]["Total"] == 2
