@@ -79,6 +79,13 @@ def main():
     random.seed(config.seed)
     np.random.seed(config.seed)
 
+    # honor --device cpu before any backend touch (utils/device.py explains
+    # why the env var alone cannot); without this the CLI hangs at device
+    # init whenever the TPU tunnel is unreachable even on CPU-only runs
+    from hirest_tpu.utils.device import apply_device_config
+
+    apply_device_config(config.device)
+
     from hirest_tpu.infer.retrieval import run_video_retrieval
     from hirest_tpu.models.eva_clip import preprocess_image
 

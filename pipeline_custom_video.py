@@ -22,9 +22,15 @@ def main():
     p.add_argument("--extract_asr", action="store_true")
     p.add_argument("--pretrained_dir", default="./pretrained_weights")
     p.add_argument("--num_beams", type=int, default=3)
+    p.add_argument("--device", type=str, default="tpu",
+                   help="'cpu' pins the jax platform (reference args.py:10)")
     a = p.parse_args()
 
     import os
+
+    from hirest_tpu.utils.device import apply_device_config
+
+    apply_device_config(a.device)
 
     from hirest_tpu.utils.cache import enable_compilation_cache
 

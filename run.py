@@ -18,11 +18,9 @@ def main():
     random.seed(config.seed)
     np.random.seed(config.seed)
 
-    import jax
+    from hirest_tpu.utils.device import apply_device_config
 
-    if config.device == "cpu":
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        jax.config.update("jax_platforms", "cpu")
+    apply_device_config(config.device)
 
     from hirest_tpu.utils.cache import enable_compilation_cache
 

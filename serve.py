@@ -20,7 +20,13 @@ def main():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--device", type=str, default="tpu",
+                   help="'cpu' pins the jax platform (reference args.py:10)")
     a = p.parse_args()
+
+    from hirest_tpu.utils.device import apply_device_config
+
+    apply_device_config(a.device)
 
     from hirest_tpu.utils.cache import enable_compilation_cache
 
