@@ -34,6 +34,18 @@ def run_end_to_end(trainer, test_path: str | None = None) -> dict:
     """Run the staged pipeline; returns the final results dict."""
     cfg = trainer.config
     tasks = cfg.tasks
+    if not tasks:
+        # the reference gates each stage on its --task_* flag too
+        # (run.py:388,429,466) and would equally echo the GT back; but a
+        # "final results" file that is a verbatim GT copy is a silent
+        # footgun, so say it loudly
+        import sys
+
+        print("WARNING: --end_to_end with no --task_* flags runs ZERO "
+              "pipeline stages; final_end_to_end_results.json will be a "
+              "verbatim copy of the test annotations. Pass "
+              "--task_moment_retrieval --task_moment_segmentation "
+              "--task_step_captioning.", file=sys.stderr)
     test_path = test_path or os.path.join(cfg.data_dir, "all_data_test.json")
     test = load_annotations(test_path)
     os.makedirs(cfg.ckpt_dir, exist_ok=True)
