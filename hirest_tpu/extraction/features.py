@@ -127,8 +127,10 @@ def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
 
     Production defaults (measured fastest, BENCHLOG.md): scan-over-layers
     forward (one-block compile: seconds instead of minutes per shape) with
-    the fused-qkv Pallas attention kernel at the NATIVE head width 88 —
-    the 88->128 padding transform costs +15% FLOPs and is now opt-in.
+    the v3 batched-heads Pallas attention kernel (283.1 fps vs 272.7 for
+    the v1 fused-qkv kernel, measured on-chip 2026-08-18) at the NATIVE
+    head width 88 — the 88->128 padding transform costs +15% FLOPs and is
+    opt-in.
     `int8=True` selects the quantized throughput mode (weights per-channel,
     activations per-row dynamic).
     `uint8_frontend=True` (scan path) ships RAW uint8 frames to the device
@@ -163,8 +165,12 @@ def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
     if scan:
         from hirest_tpu.models.eva_scan import build_scanned_vision_apply
 
+        # attn_v3: measured-best production config (283.1 fps vs 272.7 v1,
+        # on-chip 2026-08-18); inert when use_pallas is off (the packed
+        # guard in eva_scan falls back to the split-head XLA path)
         apply = build_scanned_vision_apply(params, cfg, int8=int8,
                                            use_pallas=use_pallas, dtype=dtype,
+                                           attn_v3=use_pallas,
                                            uint8_input=uint8_frontend)
         if uint8_frontend:
             # raw bytes cross the host->device boundary; the cast to the

@@ -247,12 +247,14 @@ def build_eva_model_and_transforms(model_name: str = "EVA_CLIP_g_14",
     text_apply = jax.jit(lambda p, ids: text_tower.apply(p, ids))
 
     if scan:
-        # production image path: scan-over-layers + fused-qkv kernel
-        # (one-block compile; fastest measured config, BENCHLOG.md)
+        # production image path: scan-over-layers + v3 batched-heads kernel
+        # (one-block compile; fastest measured config — 283.1 fps on-chip
+        # 2026-08-18, BENCHLOG.md; inert when use_pallas is off)
         from hirest_tpu.models.eva_scan import build_scanned_vision_apply
 
         scanned = build_scanned_vision_apply(vision_params, vision_cfg,
                                              int8=int8, use_pallas=use_pallas,
+                                             attn_v3=use_pallas,
                                              dtype=dtype)
         encode_image = lambda im: scanned(jnp.asarray(im, dtype))  # noqa: E731
         vision_dev = vision_params

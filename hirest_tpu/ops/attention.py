@@ -420,32 +420,6 @@ def _attn_heads_batched(row, heads: int, d: int, c: float, group: int,
                            -1).astype(out_dtype)
 
 
-def _attn_kernel_flat3(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
-                       s: int, rows: int, group: int):
-    """Flat-layout batched-heads attention: qkv_ref [rows*s, 3*H*D] with
-    biases pre-added (same contract as _attn_kernel_flat2)."""
-    c = scale * LOG2E
-    for r in range(rows):
-        o_ref[r * s:(r + 1) * s] = _attn_heads_batched(
-            qkv_ref[r * s:(r + 1) * s], heads, d, c, group, o_ref.dtype)
-
-
-def _attn_kernel_flat3_quant(qkv_ref, q_ref, s_ref, *, scale: float,
-                             heads: int, d: int, s: int, rows: int,
-                             group: int):
-    """_attn_kernel_flat3 with the per-row dynamic int8 epilogue (matching
-    eva_scan._dyn_quant_rows); no scratch needed — the batched inner
-    returns the full [S, H*D] row functionally."""
-    c = scale * LOG2E
-    for r in range(rows):
-        y = _attn_heads_batched(qkv_ref[r * s:(r + 1) * s], heads, d, c,
-                                group, jnp.float32)
-        sc = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
-        q_ref[r * s:(r + 1) * s] = jnp.clip(jnp.round(y / sc), -127,
-                                            127).astype(jnp.int8)
-        s_ref[r * s:(r + 1) * s] = sc
-
-
 def _attn_kernel_qkv3(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
                       rows: int, group: int):
     """3D-layout batched-heads attention: qkv_ref [R, S, 3*H*D], biases
@@ -610,78 +584,6 @@ def fused_attention_qkv(qkv, q_bias, v_bias, scale: float, num_heads: int,
     )(qkv, q_bias.astype(qkv.dtype), v_bias.astype(qkv.dtype))
 
 
-def _attn_kernel_flat(qkv_ref, qb_ref, vb_ref, o_ref, *, scale: float,
-                      heads: int, d: int, s: int, rows: int):
-    """2D fused-qkv attention: qkv_ref [rows*s, 3*H*D] — `rows` batches'
-    token blocks stacked along the sublane dim (the flat [B*S, C] trunk
-    layout), biases [H*D]. Per-batch token blocks are CONTIGUOUS sublane
-    ranges, so slicing them is free; everything else matches
-    _attn_kernel_qkvfused."""
-    hd = heads * d
-    for r in range(rows):
-        row = qkv_ref[r * s:(r + 1) * s]
-        q_all = row[:, :hd] + qb_ref[...][None, :]
-        k_all = row[:, hd: 2 * hd]
-        v_all = row[:, 2 * hd:] + vb_ref[...][None, :]
-        for h in range(heads):
-            sl = slice(h * d, (h + 1) * d)
-            sc = jnp.dot(q_all[:, sl], k_all[:, sl].T,
-                         preferred_element_type=jnp.float32) * scale
-            p = jax.nn.softmax(sc, axis=-1).astype(row.dtype)
-            o_ref[r * s:(r + 1) * s, sl] = jnp.dot(
-                p, v_all[:, sl], preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
-
-
-def _attn_kernel_flat2(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
-                       s: int, rows: int):
-    """Lean 2D variant: biases pre-added by the caller (folded into the qkv
-    matmul epilogue), exp2 softmax with the logit scale in the exponent
-    multiplier, normalizer applied to the [s, D] output."""
-    hd = heads * d
-    c = scale * LOG2E
-    for r in range(rows):
-        row = qkv_ref[r * s:(r + 1) * s]
-        for h in range(heads):
-            sl = slice(h * d, (h + 1) * d)
-            sc = jnp.dot(row[:, sl], row[:, hd + h * d: hd + (h + 1) * d].T,
-                         preferred_element_type=jnp.float32)
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            p = jnp.exp2((sc - m) * c).astype(row.dtype)
-            den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-            o = jnp.dot(p, row[:, 2 * hd + h * d: 2 * hd + (h + 1) * d],
-                        preferred_element_type=jnp.float32)
-            o_ref[r * s:(r + 1) * s, sl] = (o / den).astype(o_ref.dtype)
-
-
-def _attn_kernel_flat2_quant(qkv_ref, q_ref, s_ref, acc_ref, *, scale: float,
-                             heads: int, d: int, s: int, rows: int):
-    """_attn_kernel_flat2 with the int8 quantization epilogue: per-head
-    outputs accumulate in f32 VMEM scratch, then one per-row dynamic int8
-    quantization over the full H*D row emits codes + scales (matching
-    eva_scan._dyn_quant_rows), so the attention output never round-trips
-    to HBM in bf16."""
-    hd = heads * d
-    c = scale * LOG2E
-    for r in range(rows):
-        row = qkv_ref[r * s:(r + 1) * s]
-        for h in range(heads):
-            sl = slice(h * d, (h + 1) * d)
-            sc = jnp.dot(row[:, sl], row[:, hd + h * d: hd + (h + 1) * d].T,
-                         preferred_element_type=jnp.float32)
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            p = jnp.exp2((sc - m) * c).astype(row.dtype)
-            den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-            o = jnp.dot(p, row[:, 2 * hd + h * d: 2 * hd + (h + 1) * d],
-                        preferred_element_type=jnp.float32)
-            acc_ref[r * s:(r + 1) * s, sl] = o / den
-        y = acc_ref[r * s:(r + 1) * s]
-        qs = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
-        q_ref[r * s:(r + 1) * s] = jnp.clip(jnp.round(y / qs), -127,
-                                            127).astype(jnp.int8)
-        s_ref[r * s:(r + 1) * s] = qs
-
-
 def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
                          q_bias=None, v_bias=None, rows_per_cell: int = 1,
                          interpret: bool = False, quant_out: bool = False,
@@ -692,9 +594,18 @@ def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
 
     Why flat: a 2D dot emits a plain {1,0}-layout result, so the qkv
     projection never pays the 3D batch-in-sublanes layout negotiation that
-    costs the [B, S, C] path ~13%% MFU on the qkv matmul (pallas_call
-    forces {2,1,0} on its operand while the 3D dot emitter prefers
-    {2,0,1}; see BENCHLOG round-2 device profile).
+    costs the [B, S, C] path ~13%% MFU on the qkv matmul (see BENCHLOG
+    round-2 device profile).
+
+    The attention itself runs through the 3D kernels on a [B, S, 3HD]
+    reshape of the flat operand. The reshape is a bitcast ({1,0} 2D and
+    {2,1,0} 3D are the same dense bytes), so the producing matmul keeps
+    its 2D layout; the earlier dedicated 2D-block kernels were REJECTED by
+    the Mosaic TPU lowering on real hardware (block rows 257/514 of a
+    32896-row array violate the 8-sublane divisibility rule — discovered
+    on-chip 2026-08-18; CPU interpret mode does not enforce tiling), while
+    the 3D kernels' [1, 257, C] blocks are legal because their block S
+    equals the array S.
 
     With q_bias/v_bias given, biases are added in-kernel (classic softmax);
     with both None the caller must pre-add them (folded into the qkv dot
@@ -703,79 +614,31 @@ def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
     batched dot — requires pre-added biases."""
     m, three_hd = qkv2d.shape
     hd = three_hd // 3
-    d = hd // num_heads
     b = m // seq_len
-    r = rows_per_cell if b % rows_per_cell == 0 else 1
-
-    vmem = pltpu.VMEM if pltpu else None
-    qkv_spec = pl.BlockSpec((r * seq_len, three_hd), lambda i: (i, 0),
-                            memory_space=vmem)
-    o_spec = pl.BlockSpec((r * seq_len, hd), lambda i: (i, 0),
-                          memory_space=vmem)
-    s_pad, d_pad = _round_up(seq_len, 16), _round_up(d, 128)
-    cost = pl.CostEstimate(
-        flops=2 * b * num_heads * (s_pad * s_pad * d_pad * 2),
-        bytes_accessed=(m * three_hd + m * hd) * qkv2d.dtype.itemsize,
-        transcendentals=b * num_heads * s_pad * s_pad,
-    )
+    qkv3d = qkv2d.reshape(b, seq_len, three_hd)
     if q_bias is None and v_bias is None:
-        if quant_out:
-            s_spec = pl.BlockSpec((r * seq_len, 1), lambda i: (i, 0),
-                                  memory_space=vmem)
-            if head_group:
-                kernel = functools.partial(
-                    _attn_kernel_flat3_quant, scale=scale, heads=num_heads,
-                    d=d, s=seq_len, rows=r, group=head_group)
-                scratch = []
-            else:
-                assert pltpu is not None, "quant_out needs pallas TPU scratch"
-                kernel = functools.partial(
-                    _attn_kernel_flat2_quant, scale=scale, heads=num_heads,
-                    d=d, s=seq_len, rows=r)
-                scratch = [pltpu.VMEM((r * seq_len, hd), jnp.float32)]
-            return pl.pallas_call(
-                kernel,
-                grid=(b // r,),
-                in_specs=[qkv_spec],
-                out_specs=[o_spec, s_spec],
-                out_shape=[jax.ShapeDtypeStruct((m, hd), jnp.int8),
-                           jax.ShapeDtypeStruct((m, 1), jnp.float32)],
-                scratch_shapes=scratch,
-                interpret=interpret,
-                cost_estimate=cost,
-            )(qkv2d)
         if head_group:
-            kernel = functools.partial(_attn_kernel_flat3, scale=scale,
-                                       heads=num_heads, d=d, s=seq_len,
-                                       rows=r, group=head_group)
+            out = fused_attention_qkv3(qkv3d, scale, num_heads,
+                                       rows_per_cell=rows_per_cell,
+                                       head_group=head_group,
+                                       interpret=interpret,
+                                       quant_out=quant_out)
         else:
-            kernel = functools.partial(_attn_kernel_flat2, scale=scale,
-                                       heads=num_heads, d=d, s=seq_len,
-                                       rows=r)
-        return pl.pallas_call(
-            kernel,
-            grid=(b // r,),
-            in_specs=[qkv_spec],
-            out_specs=o_spec,
-            out_shape=jax.ShapeDtypeStruct((m, hd), qkv2d.dtype),
-            interpret=interpret,
-            cost_estimate=cost,
-        )(qkv2d)
-    assert not quant_out, "quant_out requires pre-added biases (flat2 path)"
+            out = fused_attention_qkv2(qkv3d, scale, num_heads,
+                                       rows_per_cell=rows_per_cell,
+                                       interpret=interpret,
+                                       quant_out=quant_out)
+        if quant_out:
+            q8, s8 = out
+            return q8.reshape(m, hd), s8.reshape(m, 1)
+        return out.reshape(m, hd)
+    assert not quant_out, "quant_out requires pre-added biases (lean path)"
     assert not head_group, "head_group (v3) requires pre-added biases"
     assert q_bias is not None and v_bias is not None
-    bias_spec = pl.BlockSpec((hd,), lambda i: (0,), memory_space=vmem)
-    kernel = functools.partial(_attn_kernel_flat, scale=scale,
-                               heads=num_heads, d=d, s=seq_len, rows=r)
-    return pl.pallas_call(
-        kernel,
-        grid=(b // r,),
-        in_specs=[qkv_spec, bias_spec, bias_spec],
-        out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((m, hd), qkv2d.dtype),
-        interpret=interpret,
-        cost_estimate=cost,
-    )(qkv2d, q_bias.astype(qkv2d.dtype), v_bias.astype(qkv2d.dtype))
+    out = fused_attention_qkv(qkv3d, q_bias, v_bias, scale, num_heads,
+                              interpret=interpret)
+    return out.reshape(m, hd)
+
 
 
 def fused_attention_packed(q, k, v, scale: float, num_heads: int,

@@ -97,6 +97,16 @@ def _row_specs_flat(m: int, c: int, row_block: int | None):
         br = row_block * max(1, VMEM_BUDGET // _bytes_per_row(c) // row_block)
         while m % br:
             br -= row_block
+        if br % 8 and br != m:
+            # Mosaic's sublane rule: a block's second-minor dim must be
+            # 8-divisible or equal to the array dim. An odd per-batch token
+            # count (EVA's 257) can only satisfy it at lcm(row_block, 8)
+            # rows — over budget at trunk widths — so fall through to the
+            # ragged 32-multiple path (rows are independent; the cdiv tail
+            # is masked by pallas). Discovered on-chip 2026-08-18: the
+            # exact-division path emitted 514-row blocks that the TPU
+            # lowering rejected while CPU interpret mode accepted them.
+            br = _pick_row_block(m, c)
     else:
         # row_block absent, non-dividing, or itself over the VMEM budget
         # (e.g. 257 rows x 6144 cols at the post-fc1 act_quant site):

@@ -43,45 +43,47 @@ run() {
   fi
 }
 
-# 0. production bench FIRST (the headline number; probes after)
+# 0. production bench FIRST (the headline number; probes after).
+# Round-5b sweep: the 2026-08-18 morning queue proved every flat2d/lnk/fq
+# config unlowerable on real TPU (Mosaic 8-sublane block rule; see
+# tests/test_tpu_lowering.py). Those kernels are fixed (flat attention now
+# rides the 3D kernels through a bitcast reshape; LN/quant row blocks are
+# 8-divisible), so the full 13-config ladder is measurable for the first
+# time. Morning results to beat: bf16+v3 283.1 fps (76.8% MFU).
 run bench_ladder python bench.py --batch=128 --no-cache
 
-# 1. v2/v3 attention kernels + flat trunk, bf16 (device-ms via trace);
-#    lnk = one-pass pallas LayerNorm at both LN sites (ops/quant.ln_bf16);
-#    attn3 = batched-heads kernel (VERDICT r3 #4 per-head loop restructure)
-run attn2_bf16 python tools/block_probe.py \
-  --variants attn2-fastgelu-fences,flat-fastgelu-fences,flat-attn2-fastgelu-fences,flat-attn2-lnk-fastgelu-fences,attn3-fastgelu-fences,flat-attn3-fastgelu-fences,flat-attn3-lnk-fastgelu-fences,flat-attn3-hg16-fastgelu-fences \
-  --iters 2 --hlodir "$OUT/hlo"
-
-# 2. int8: current dyn-quant vs fused-quant kernels (+ v2/v3 attention, flat)
-run int8_pair python tools/block_probe.py --int8 \
-  --variants fastgelu-fences,fq-fastgelu,fq-attn2-fastgelu,flat-attn2-fastgelu-fences,fq-attn3-fastgelu,flat-attn3-fastgelu-fences \
-  --iters 2 --hlodir "$OUT/hlo"
-
-# 2b. padded heads (88 -> 128): +45% attention FLOPs but fully MXU-aligned
-#     per-head dots in the flat kernel — one config, settles the tradeoff
-#     (--experiment: forced-config probes must not overwrite the ladder's
-#     headline number in BENCH_LAST_GOOD.json)
-run padded_flat python bench.py --padded-heads --bf16 --flat2d --attn-v2 \
-  --batch=128 --budget=300 --no-cache --experiment
-
-# 2c. padded heads + v3: with d=128 the batched-heads VMEM assembly slices
-#     ([S, d] per head) are lane-aligned — the v3 concat cost analysis says
-#     this composition is the likely bf16 winner (smoke-verified on CPU)
+# 1. padded heads (88 -> 128) + v3 + flat: the round-4 lane-alignment
+#    prediction, now actually lowerable (--experiment: forced-config runs
+#    must not overwrite the ladder's headline in BENCH_LAST_GOOD.json)
 run padded_v3 python bench.py --padded-heads --bf16 --flat2d --attn-v3 \
   --batch=128 --budget=300 --no-cache --experiment
 
-# 3. secondary tracked metrics (VERDICT r2 #7): p50 step-caption latency
-#    and retrieval queries/sec, refreshed post-kernel-changes
+# 2. padded heads + v2 + flat (the other padded composition)
+run padded_flat python bench.py --padded-heads --bf16 --flat2d --attn-v2 \
+  --batch=128 --budget=300 --no-cache --experiment
+
+# 3. device-time attribution of the v3 family: 3D vs flat trunk, hg16
+#    score-tensor doubling, pallas-LN composition (morning numbers:
+#    attn3-fences 433.8 device-ms/call = 295.1 fps-dev)
+run attn3_probe python tools/block_probe.py \
+  --variants attn3-fastgelu-fences,flat-attn3-fastgelu-fences,flat-attn3-hg16-fastgelu-fences,flat-attn3-lnk-fastgelu-fences \
+  --iters 2 --hlodir "$OUT/hlo"
+
+# 4. int8 attribution: dyn-quant baseline vs the (now-lowerable) fused-quant
+#    kernels, with v3 attention (VERDICT r4 #3: make int8 pay or explain)
+run int8_probe python tools/block_probe.py --int8 \
+  --variants fastgelu-fences,fq-fastgelu,fq-attn3-fastgelu,flat-fq-attn3-fastgelu \
+  --iters 2 --hlodir "$OUT/hlo"
+
+# 5. secondary tracked metrics, now net-of-tunnel-RTT (the morning wall
+#    numbers — 10 s p50, 16.7 q/s — measured the tunnel, not the chip)
 run latency python bench.py --latency
 run vr python bench.py --vr
 
-# 3b. end-to-end extraction duty cycle (VERDICT r4 #8): host JPEG decode ->
-#     uint8 transfer -> device encode with prefetch overlap — the honest
-#     number for what extract_features.py actually does under the tunnel
+# 5b. end-to-end extraction duty cycle
 run e2e python bench.py --e2e --no-cache
 
-# 4. persist the round's on-chip numbers in the repo so a later tunnel
+# 6. persist the round's on-chip numbers in the repo so a later tunnel
 #    outage degrades the bench signal instead of zeroing it (VERDICT r3 #2)
 if [ -s BENCH_LAST_GOOD.json ]; then
   git add BENCH_LAST_GOOD.json
@@ -92,4 +94,3 @@ fi
 # nonzero when any step failed (e.g. the tunnel flapped mid-queue) so the
 # watcher can re-arm and retry the whole pass; steps are idempotent
 exit $FAILED
-
