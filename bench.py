@@ -273,8 +273,10 @@ def bench_e2e_extraction(params, cfg, batch_size: int = 128,
     from hirest_tpu.extraction.features import extract_video_features
     from hirest_tpu.models.eva_clip import preprocess_image_u8
 
+    # production defaults: bf16 -> v3 3D (283.1 fps); int8 -> fq+v3+flat
+    # (334.1 fps) — measured on-chip 2026-08-18
     apply = build_eva_apply(params, cfg, int8=int8, staged=staged,
-                            attn_v3=True,  # production default (283.1 fps)
+                            attn_v3=True, fused_quant=int8, flat2d=int8,
                             uint8_input=True, interpret=interpret)
     encode = lambda im: apply(jnp.asarray(im))  # noqa: E731
 
@@ -721,26 +723,27 @@ def main():
     # skipped and the best survivor wins, so an unproven kernel can only
     # improve the reported number.
     if "--int8" in sys.argv:
-        ladder = [(True, False, 0, False, False)]
+        ladder = [(True, True, 2, True, False)]  # fq+v3+flat: 334.1 fps
     elif "--bf16" in sys.argv:
-        ladder = [(False, False, 0, False, False)]
+        ladder = [(False, False, 2, False, False)]  # 3D v3: 283.1 fps
     else:
         # measured-good configs FIRST so budget exhaustion can only drop
-        # unproven candidates, never the historical best
+        # unproven candidates, never the historical best (full 13-config
+        # sweep measured on-chip 2026-08-18 16:04Z, BENCHLOG.md)
         ladder = [
-            (False, False, 0, False, False),  # bf16 baseline (measured-good)
-            (True, False, 0, False, False),   # int8 baseline (measured-good)
-            (False, False, 1, False, False),  # bf16 + v2 kernel
-            (False, False, 0, True, False),   # bf16 flat trunk
-            (False, False, 1, True, False),   # bf16 flat + v2
-            (False, False, 2, True, False),   # bf16 flat + v3 batched heads
-            (True, True, 1, False, False),    # int8 + fused quant + v2
-            (True, False, 1, True, False),    # int8 flat + v2
-            (True, True, 1, True, False),     # int8 flat + fused quant + v2
-            (True, True, 2, True, False),     # int8 flat + fq + v3
-            (False, False, 1, True, True),    # bf16 flat + v2 + pallas LN
-            (False, False, 2, True, True),    # bf16 flat + v3 + pallas LN
-            (False, False, 2, False, False),  # bf16 3D + v3
+            (True, True, 2, True, False),     # int8 fq+v3+flat: 334.1 ***
+            (True, True, 1, True, False),     # int8 fq+v2+flat: 317.9
+            (False, False, 2, False, False),  # bf16 3D + v3: 283.1
+            (True, False, 1, True, False),    # int8 flat + v2: 282.3
+            (True, False, 0, False, False),   # int8 dyn-quant: 279.2
+            (False, False, 0, False, False),  # bf16 baseline: 272.7
+            (False, False, 1, False, False),  # bf16 + v2: 269.6
+            (False, False, 0, True, False),   # bf16 flat: 264.1
+            (False, False, 2, True, True),    # bf16 flat+v3+lnk: 263.0
+            (False, False, 2, True, False),   # bf16 flat + v3: 253.4
+            (False, False, 1, True, True),    # bf16 flat+v2+lnk: 253.7
+            (False, False, 1, True, False),   # bf16 flat + v2: 242.4
+            (True, True, 1, False, False),    # int8 fq+v2 3D: 229.1
         ]
     if ("--fused-quant" in sys.argv or "--attn-v2" in sys.argv
             or "--attn-v3" in sys.argv):
