@@ -160,9 +160,11 @@ def build_host_params(padded_heads: bool = True):
 def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                     scan: bool = True, dtype_name: str = "bfloat16",
                     fused_quant: bool = False, attn_v2: bool = False,
-                    attn_v3: bool = False, flat2d: bool = False,
+                    attn_v3: bool = False, attn_hg: int = 8,
+                    flat2d: bool = False,
                     fused_ln: bool = False, staged=None,
-                    uint8_input: bool = False, interpret: bool = False):
+                    uint8_input: bool = False, pad_tokens: bool = False,
+                    interpret: bool = False):
     """-> apply(images) with weights staged on device once (bf16/int8)."""
     import jax
     import jax.numpy as jnp
@@ -175,10 +177,11 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                                           use_pallas=use_pallas, dtype=dtype,
                                           fused_quant=fused_quant,
                                           attn_v2=attn_v2, attn_v3=attn_v3,
-                                          flat2d=flat2d,
+                                          attn_hg=attn_hg, flat2d=flat2d,
                                           fused_ln=fused_ln,
                                           staged=staged,
                                           uint8_input=uint8_input,
+                                          pad_tokens=pad_tokens,
                                           interpret=interpret)
     if int8:
         from hirest_tpu.models.eva_quant import build_int8_vision_apply
@@ -712,9 +715,13 @@ def main():
     # unpadded heads + the fused-qkv kernel measured fastest (BENCHLOG.md):
     # 219.3 bf16 / 220.5 int8 vs 215.8 padded bf16
     padded = "--padded-heads" in sys.argv
+    tokpad = "--tok-pad" in sys.argv  # token axis 257 -> 264 (8-aligned)
+    attn_hg = 8  # v3 heads per batched dot; --hg=16 doubles the score tensor
     for arg in sys.argv[1:]:
         if arg.startswith("--batch="):
             batches = [int(x) for x in arg.split("=")[1].split(",")]
+        if arg.startswith("--hg="):
+            attn_hg = int(arg.split("=")[1])
 
     # Config ladder: (int8, fused_quant, kernel_version, flat2d, fused_ln)
     # with kernel_version 0 = v1 fused-qkv, 1 = v2 lean exp2, 2 = v3
@@ -786,8 +793,10 @@ def main():
             break
         tag = (("int8" if int8 else "bf16") + ("+fq" if fq else "")
                + ("+v2" if kv == 1 else "") + ("+v3" if kv == 2 else "")
+               + (f"+hg{attn_hg}" if kv == 2 and attn_hg != 8 else "")
                + ("+flat" if flat else "")
-               + ("+lnk" if fln else "") + ("+pad" if padded else ""))
+               + ("+lnk" if fln else "") + ("+pad" if padded else "")
+               + ("+tp" if tokpad else ""))
         try:
             if scan and int8 not in staged_by_prec:
                 from hirest_tpu.models.eva_scan import stage_scanned_params
@@ -801,6 +810,7 @@ def main():
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
                                     int8=int8, scan=scan, fused_quant=fq,
                                     attn_v2=kv == 1, attn_v3=kv == 2,
+                                    attn_hg=attn_hg, pad_tokens=tokpad,
                                     flat2d=flat, fused_ln=fln,
                                     staged=staged_by_prec.get(int8),
                                     interpret=smoke)

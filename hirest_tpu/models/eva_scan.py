@@ -176,9 +176,11 @@ def build_scanned_vision_apply(params: dict,
                                xla_fences: bool = True,
                                attn_v2: bool = False,
                                attn_v3: bool = False,
+                               attn_hg: int = 8,
                                flat2d: bool = False,
                                fused_ln: bool = False,
                                uint8_input: bool = False,
+                               pad_tokens: bool = False,
                                staged=None):
     """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
     block stack runs under `lax.scan` (one-block compile time).
@@ -258,7 +260,23 @@ def build_scanned_vision_apply(params: dict,
     # layout, sidestepping the 3D batch-in-sublanes layout negotiation that
     # costs the [B, S, C] qkv matmul ~13% MFU against the pallas operand's
     # forced {2,1,0} (reshapes at the jit boundary are bitcasts).
-    n_tokens = grid * grid + 1
+    # pad_tokens: pad the token axis 257 -> 264 (next multiple of 8) with
+    # zero rows so every per-image [S, C] face is sublane-aligned. Without
+    # it the flat trunk's [B*S, C] <-> [B, S, C] reshapes around the
+    # attention kernel are REAL relayout copies (XLA pads each face to 264
+    # sublanes internally: measured 60.8 ms/call of pure data movement on
+    # the int8+fq+v3+flat winner, tools/model_probe.py 2026-08-19), and the
+    # 3D trunk's dots pay the same padding inside every layout negotiation.
+    # Pad keys are masked to exactly-zero attention weight in the lean
+    # kernels (n_real), so token outputs are bit-identical; costs +2.7%
+    # projection rows. Requires the lean kernels (v2/v3).
+    n_real = grid * grid + 1
+    n_tokens = (n_real + 7) // 8 * 8 if pad_tokens else n_real
+    tok_pad = n_tokens - n_real
+    if pad_tokens:
+        assert (attn_v2 or attn_v3) and packed, \
+            "pad_tokens requires the lean v2/v3 kernels (key masking)"
+    mask_real = n_real if pad_tokens else 0
     if flat2d:
         assert packed, "flat2d needs the pallas flat kernel"
 
@@ -325,18 +343,20 @@ def build_scanned_vision_apply(params: dict,
 
     def block_flat(x, w):
         lean = attn_v2 or attn_v3  # lean kernels need pre-added biases
-        hg = 8 if attn_v3 else 0   # v3: heads per batched dot
+        hg = attn_hg if attn_v3 else 0  # v3: heads per batched dot
         qkv = _ln1_qkv(x, w, _bias3(w) if lean else None)
         if lean and fq:
             a_qs = fused_attention_flat(qkv.astype(dtype), scale, heads,
                                         n_tokens, interpret=interpret,
-                                        quant_out=True, head_group=hg)
+                                        quant_out=True, head_group=hg,
+                                        n_real=mask_real)
             return _out_mlp(x, w, a_qs=a_qs), None
         if lean:
             att = fused_attention_flat(qkv.astype(dtype), scale, heads,
                                        n_tokens,
                                        rows_per_cell=1 if attn_v3 else 2,
-                                       interpret=interpret, head_group=hg)
+                                       interpret=interpret, head_group=hg,
+                                       n_real=mask_real)
         else:
             att = fused_attention_flat(qkv.astype(dtype), scale, heads,
                                        n_tokens, q_bias=w["q_bias"],
@@ -357,16 +377,27 @@ def build_scanned_vision_apply(params: dict,
         v2 = attn_v2 and packed and not v3
         qkv = _ln1_qkv(x, w, _bias3(w) if (v2 or v3) else None)
         if (v2 or v3) and fq:
-            fn = fused_attention_qkv3 if v3 else fused_attention_qkv2
-            a_qs = fn(qkv.astype(dtype), scale, heads,
-                      interpret=interpret, quant_out=True)
+            if v3:
+                a_qs = fused_attention_qkv3(qkv.astype(dtype), scale, heads,
+                                            head_group=attn_hg,
+                                            interpret=interpret,
+                                            quant_out=True,
+                                            n_real=mask_real)
+            else:
+                a_qs = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
+                                            interpret=interpret,
+                                            quant_out=True,
+                                            n_real=mask_real)
             return _out_mlp(x, w, a_qs=a_qs), None
         if v3:
             att = fused_attention_qkv3(qkv.astype(dtype), scale, heads,
-                                       interpret=interpret)
+                                       head_group=attn_hg,
+                                       interpret=interpret,
+                                       n_real=mask_real)
         elif v2:
             att = fused_attention_qkv2(qkv.astype(dtype), scale, heads,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       n_real=mask_real)
         elif packed and fq:
             # attention with the quant epilogue: int8 codes + row scales
             # come straight out of the kernel (no bf16 HBM round-trip)
@@ -395,6 +426,8 @@ def build_scanned_vision_apply(params: dict,
         x = jnp.concatenate(
             [jnp.broadcast_to(c["cls_token"], (bsz, 1, cfg.width)), x], 1)
         x = x + c["pos"]
+        if tok_pad:
+            x = jnp.pad(x, ((0, 0), (0, tok_pad), (0, 0)))
         if flat2d:
             x = x.reshape(bsz * n_tokens, cfg.width)
         x, _ = jax.lax.scan(body, x, xs)

@@ -270,8 +270,27 @@ def _attn_kernel_qkvfused(qkv_ref, qb_ref, vb_ref, o_ref, *, scale: float,
 LOG2E = 1.4426950408889634
 
 
+def _mask_pad_keys(s, n_real: int):
+    """Mask key positions >= n_real in a score tensor [..., S_k] to -1e30.
+
+    Token-padded trunks (S 257 -> 264 so every per-image face is 8-sublane
+    aligned and the flat<->3D reshape is a true bitcast) carry `pad` junk
+    rows per image; forcing their key scores to -1e30 BEFORE the row max
+    makes exp2((s - m) * c) underflow to exactly 0.0 for pad keys, so real
+    tokens' outputs are bit-identical to the unpadded kernel (pad V rows
+    multiply a 0 probability in the f32 accumulate).
+
+    The iota is materialized at the score tensor's own shape: a [1, S]
+    helper array crashes the TPU backend inside the Pallas custom call
+    (jellyfish `Check failed: limits[i] <= dim(i) (33 vs. 1)` on the
+    sublane-broadcast — reproduced on-chip 2026-08-19), while the
+    full-shape lane iota lowers cleanly."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+    return jnp.where(idx >= n_real, jnp.float32(-1e30), s)
+
+
 def _attn_kernel_qkv2(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
-                      rows: int):
+                      rows: int, n_real: int = 0):
     """Lean fused-qkv attention: qkv_ref [R, S, 3*H*D] with q/v biases
     ALREADY added (callers fold them into the qkv matmul epilogue, where
     they are free), o_ref [R, S, H*D].
@@ -289,6 +308,8 @@ def _attn_kernel_qkv2(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
             sl = slice(h * d, (h + 1) * d)
             s = jnp.dot(row[:, sl], row[:, hd + h * d: hd + (h + 1) * d].T,
                         preferred_element_type=jnp.float32)
+            if n_real:
+                s = _mask_pad_keys(s, n_real)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2((s - m) * c).astype(row.dtype)
             den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
@@ -298,7 +319,7 @@ def _attn_kernel_qkv2(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
 
 
 def _attn_kernel_qkv2_quant(qkv_ref, q_ref, s_ref, acc_ref, *, scale: float,
-                            heads: int, d: int, rows: int):
+                            heads: int, d: int, rows: int, n_real: int = 0):
     """_attn_kernel_qkv2 with the int8 quantization epilogue of
     _attn_kernel_qkvfused_quant: per-head outputs accumulate in f32 VMEM
     scratch, then one per-row dynamic int8 quantization over the full
@@ -311,6 +332,8 @@ def _attn_kernel_qkv2_quant(qkv_ref, q_ref, s_ref, acc_ref, *, scale: float,
             sl = slice(h * d, (h + 1) * d)
             s = jnp.dot(row[:, sl], row[:, hd + h * d: hd + (h + 1) * d].T,
                         preferred_element_type=jnp.float32)
+            if n_real:
+                s = _mask_pad_keys(s, n_real)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2((s - m) * c).astype(row.dtype)
             den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
@@ -325,7 +348,7 @@ def _attn_kernel_qkv2_quant(qkv_ref, q_ref, s_ref, acc_ref, *, scale: float,
 
 def fused_attention_qkv2(qkv_biased, scale: float, num_heads: int,
                          rows_per_cell: int = 2, interpret: bool = False,
-                         quant_out: bool = False):
+                         quant_out: bool = False, n_real: int = 0):
     """Attention over [B, S, 3*H*D] fused qkv with biases pre-added.
 
     The q/v biases must be added by the caller (one [3HD] broadcast add —
@@ -357,7 +380,8 @@ def fused_attention_qkv2(qkv_biased, scale: float, num_heads: int,
         s_spec = pl.BlockSpec((r, s, 1), lambda i: (i, 0, 0),
                               memory_space=vmem)
         kernel = functools.partial(_attn_kernel_qkv2_quant, scale=scale,
-                                   heads=num_heads, d=d, rows=r)
+                                   heads=num_heads, d=d, rows=r,
+                                   n_real=n_real)
         return pl.pallas_call(
             kernel,
             grid=(b // r,),
@@ -370,7 +394,7 @@ def fused_attention_qkv2(qkv_biased, scale: float, num_heads: int,
             cost_estimate=cost,
         )(qkv_biased)
     kernel = functools.partial(_attn_kernel_qkv2, scale=scale,
-                               heads=num_heads, d=d, rows=r)
+                               heads=num_heads, d=d, rows=r, n_real=n_real)
     return pl.pallas_call(
         kernel,
         grid=(b // r,),
@@ -383,7 +407,7 @@ def fused_attention_qkv2(qkv_biased, scale: float, num_heads: int,
 
 
 def _attn_heads_batched(row, heads: int, d: int, c: float, group: int,
-                        out_dtype):
+                        out_dtype, n_real: int = 0):
     """row [S, 3*H*D] (q/v biases pre-added) -> [S, H*D] attention output.
 
     The v3 restructure of the per-head loop (BENCHLOG: 16 serialized
@@ -409,6 +433,8 @@ def _attn_heads_batched(row, heads: int, d: int, c: float, group: int,
         q, k, v = hm(0), hm(hd), hm(2 * hd)
         s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
+        if n_real:
+            s = _mask_pad_keys(s, n_real)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2((s - m) * c).astype(row.dtype)
         den = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
@@ -421,20 +447,22 @@ def _attn_heads_batched(row, heads: int, d: int, c: float, group: int,
 
 
 def _attn_kernel_qkv3(qkv_ref, o_ref, *, scale: float, heads: int, d: int,
-                      rows: int, group: int):
+                      rows: int, group: int, n_real: int = 0):
     """3D-layout batched-heads attention: qkv_ref [R, S, 3*H*D], biases
     pre-added (same contract as _attn_kernel_qkv2)."""
     c = scale * LOG2E
     for r in range(rows):
         o_ref[r] = _attn_heads_batched(qkv_ref[r], heads, d, c, group,
-                                       o_ref.dtype)
+                                       o_ref.dtype, n_real=n_real)
 
 
 def _attn_kernel_qkv3_quant(qkv_ref, q_ref, s_ref, *, scale: float,
-                            heads: int, d: int, rows: int, group: int):
+                            heads: int, d: int, rows: int, group: int,
+                            n_real: int = 0):
     c = scale * LOG2E
     for r in range(rows):
-        y = _attn_heads_batched(qkv_ref[r], heads, d, c, group, jnp.float32)
+        y = _attn_heads_batched(qkv_ref[r], heads, d, c, group, jnp.float32,
+                                n_real=n_real)
         sc = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
         q_ref[r] = jnp.clip(jnp.round(y / sc), -127, 127).astype(jnp.int8)
         s_ref[r] = sc
@@ -442,7 +470,8 @@ def _attn_kernel_qkv3_quant(qkv_ref, q_ref, s_ref, *, scale: float,
 
 def fused_attention_qkv3(qkv_biased, scale: float, num_heads: int,
                          rows_per_cell: int = 1, head_group: int = 8,
-                         interpret: bool = False, quant_out: bool = False):
+                         interpret: bool = False, quant_out: bool = False,
+                         n_real: int = 0):
     """Batched-heads attention over [B, S, 3*H*D] fused qkv with biases
     pre-added (v3 — see _attn_heads_batched for the restructure).
 
@@ -469,7 +498,7 @@ def fused_attention_qkv3(qkv_biased, scale: float, num_heads: int,
                               memory_space=vmem)
         kernel = functools.partial(_attn_kernel_qkv3_quant, scale=scale,
                                    heads=num_heads, d=d, rows=r,
-                                   group=head_group)
+                                   group=head_group, n_real=n_real)
         return pl.pallas_call(
             kernel,
             grid=(b // r,),
@@ -482,7 +511,7 @@ def fused_attention_qkv3(qkv_biased, scale: float, num_heads: int,
         )(qkv_biased)
     kernel = functools.partial(_attn_kernel_qkv3, scale=scale,
                                heads=num_heads, d=d, rows=r,
-                               group=head_group)
+                               group=head_group, n_real=n_real)
     return pl.pallas_call(
         kernel,
         grid=(b // r,),
@@ -587,7 +616,7 @@ def fused_attention_qkv(qkv, q_bias, v_bias, scale: float, num_heads: int,
 def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
                          q_bias=None, v_bias=None, rows_per_cell: int = 1,
                          interpret: bool = False, quant_out: bool = False,
-                         head_group: int = 0):
+                         head_group: int = 0, n_real: int = 0):
     """Self-attention over the FLAT trunk layout: qkv2d [B*S, 3*H*D] with
     per-batch token blocks contiguous along rows (x was reshaped from
     [B, S, C] — a bitcast).
@@ -622,18 +651,19 @@ def fused_attention_flat(qkv2d, scale: float, num_heads: int, seq_len: int,
                                        rows_per_cell=rows_per_cell,
                                        head_group=head_group,
                                        interpret=interpret,
-                                       quant_out=quant_out)
+                                       quant_out=quant_out, n_real=n_real)
         else:
             out = fused_attention_qkv2(qkv3d, scale, num_heads,
                                        rows_per_cell=rows_per_cell,
                                        interpret=interpret,
-                                       quant_out=quant_out)
+                                       quant_out=quant_out, n_real=n_real)
         if quant_out:
             q8, s8 = out
             return q8.reshape(m, hd), s8.reshape(m, 1)
         return out.reshape(m, hd)
     assert not quant_out, "quant_out requires pre-added biases (lean path)"
     assert not head_group, "head_group (v3) requires pre-added biases"
+    assert not n_real, "n_real (token padding) requires the lean kernels"
     assert q_bias is not None and v_bias is not None
     out = fused_attention_qkv(qkv3d, q_bias, v_bias, scale, num_heads,
                               interpret=interpret)

@@ -154,6 +154,44 @@ def test_scanned_attn_v2_v3_match_v1():
                                    err_msg=f"kernel={ver}")
 
 
+def test_scanned_pad_tokens_matches():
+    """pad_tokens (token axis padded to the next sublane multiple of 8 so
+    the flat<->3D attention reshapes are true bitcasts; measured 60.8
+    ms/call of pure relayout copies on the unpadded int8+fq+v3+flat winner)
+    must match the unpadded path numerically: pad keys are masked to
+    exactly-zero attention weight in the lean kernels (n_real), so real
+    tokens never see them. Covers every production composition (v2/v3 x
+    3D/flat x bf16/int8-fq)."""
+    cfg = EvaVisionConfig(image_size=28, layers=3, width=128, head_width=32,
+                          mlp_ratio=4.0, patch_size=14, embed_dim=32)
+    tower = EvaVisionTower(cfg, dtype=jnp.float32)
+    imgs = jnp.asarray(
+        np.random.default_rng(17).normal(size=(4, 28, 28, 3)), jnp.float32)
+    params = shape_only_init(tower, imgs[:1])
+    kw = dict(use_pallas=True, interpret=True, dtype=jnp.float32,
+              fast_gelu=False)
+    for ver in ({"attn_v2": True}, {"attn_v3": True}):
+        for flat in (False, True):
+            ref = np.asarray(build_scanned_vision_apply(
+                params, cfg, flat2d=flat, **ver, **kw)(imgs))
+            assert not np.allclose(ref, 0)
+            out = np.asarray(build_scanned_vision_apply(
+                params, cfg, flat2d=flat, pad_tokens=True, **ver,
+                **kw)(imgs))
+            np.testing.assert_allclose(ref, out, rtol=2e-6, atol=2e-6,
+                                       err_msg=f"{ver} flat={flat}")
+    ref8 = np.asarray(build_scanned_vision_apply(
+        params, cfg, int8=True, fused_quant=True, flat2d=True,
+        attn_v3=True, **kw)(imgs))
+    out8 = np.asarray(build_scanned_vision_apply(
+        params, cfg, int8=True, fused_quant=True, flat2d=True,
+        attn_v3=True, pad_tokens=True, **kw)(imgs))
+    np.testing.assert_allclose(ref8, out8, rtol=2e-6, atol=2e-6)
+    with pytest.raises(AssertionError):
+        # v1 kernels have no key masking — pad_tokens must refuse them
+        build_scanned_vision_apply(params, cfg, pad_tokens=True, **kw)
+
+
 def test_uint8_frontend_matches_normalized(tiny_setup):
     """Folding (x/255 - mean)/std into the patch embed: raw uint8 frames
     through a uint8_input forward == normalized f32 frames through the

@@ -74,6 +74,23 @@ def test_flat_lowers(quant, hg, hd, d):
     lower_tpu(fn, sds((B * S, 3 * hd)))
 
 
+SP = 264  # token-padded S (pad_tokens: next multiple of 8 above 257)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("hg", [0, 8], ids=["v2", "v3hg8"])
+def test_tok_padded_lowers(quant, hg):
+    """pad_tokens shapes: S=264 with n_real=257 key masking, 3D and flat."""
+    fn = functools.partial(fused_attention_qkv3 if hg else
+                           fused_attention_qkv2, scale=SCALE,
+                           num_heads=HEADS, quant_out=quant, n_real=257)
+    lower_tpu(fn, sds((B, SP, 3 * HD)))
+    fn = functools.partial(fused_attention_flat, scale=SCALE,
+                           num_heads=HEADS, seq_len=SP, head_group=hg,
+                           quant_out=quant, n_real=257)
+    lower_tpu(fn, sds((B * SP, 3 * HD)))
+
+
 def test_v1_4d_lowers():
     fn = functools.partial(fused_attention, scale=SCALE)
     q = sds((8, HEADS, S, D))
