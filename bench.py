@@ -164,7 +164,7 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                     flat2d: bool = False,
                     fused_ln: bool = False, staged=None,
                     uint8_input: bool = False, pad_tokens: bool = False,
-                    interpret: bool = False):
+                    fused_mlp: bool = False, interpret: bool = False):
     """-> apply(images) with weights staged on device once (bf16/int8)."""
     import jax
     import jax.numpy as jnp
@@ -182,6 +182,7 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                                           staged=staged,
                                           uint8_input=uint8_input,
                                           pad_tokens=pad_tokens,
+                                          fused_mlp=fused_mlp,
                                           interpret=interpret)
     if int8:
         from hirest_tpu.models.eva_quant import build_int8_vision_apply
@@ -276,10 +277,11 @@ def bench_e2e_extraction(params, cfg, batch_size: int = 128,
     from hirest_tpu.extraction.features import extract_video_features
     from hirest_tpu.models.eva_clip import preprocess_image_u8
 
-    # production defaults: bf16 -> v3 3D (283.1 fps); int8 -> fq+v3+flat
-    # (334.1 fps) — measured on-chip 2026-08-18
+    # production defaults: bf16 -> v3 3D (283.1 fps); int8 ->
+    # fq+v3+flat+tp+fm (412.4 fps) — measured on-chip 2026-08-18/19
     apply = build_eva_apply(params, cfg, int8=int8, staged=staged,
                             attn_v3=True, fused_quant=int8, flat2d=int8,
+                            pad_tokens=int8, fused_mlp=int8,
                             uint8_input=True, interpret=interpret)
     encode = lambda im: apply(jnp.asarray(im))  # noqa: E731
 
@@ -716,6 +718,7 @@ def main():
     # 219.3 bf16 / 220.5 int8 vs 215.8 padded bf16
     padded = "--padded-heads" in sys.argv
     tokpad = "--tok-pad" in sys.argv  # token axis 257 -> 264 (8-aligned)
+    fmlp = "--fused-mlp" in sys.argv  # one-kernel int8 MLP (fq configs)
     attn_hg = 8  # v3 heads per batched dot; --hg=16 doubles the score tensor
     for arg in sys.argv[1:]:
         if arg.startswith("--batch="):
@@ -723,46 +726,61 @@ def main():
         if arg.startswith("--hg="):
             attn_hg = int(arg.split("=")[1])
 
-    # Config ladder: (int8, fused_quant, kernel_version, flat2d, fused_ln)
-    # with kernel_version 0 = v1 fused-qkv, 1 = v2 lean exp2, 2 = v3
-    # batched-heads. The measured-good baselines run alongside the newer
-    # kernel paths; any config that fails to build/compile on the chip is
-    # skipped and the best survivor wins, so an unproven kernel can only
-    # improve the reported number.
+    # Config ladder: (int8, fused_quant, kernel_version, flat2d, fused_ln,
+    # pad_tokens, fused_mlp) with kernel_version 0 = v1 fused-qkv, 1 = v2
+    # lean exp2, 2 = v3 batched-heads; pad_tokens = token axis 257 -> 264
+    # (bitcast reshapes, needs the lean kernels); fused_mlp = one-kernel
+    # int8 MLP (fq configs only). The measured-good baselines run
+    # alongside the newer kernel paths; any config that fails to
+    # build/compile on the chip is skipped and the best survivor wins, so
+    # an unproven kernel can only improve the reported number.
     if "--int8" in sys.argv:
-        ladder = [(True, True, 2, True, False)]  # fq+v3+flat: 334.1 fps
+        ladder = [(True, True, 2, True, False, True, True)]  # +tp+fm: 412.4
     elif "--bf16" in sys.argv:
-        ladder = [(False, False, 2, False, False)]  # 3D v3: 283.1 fps
+        # tok-pad does NOT pay in bf16 (3D+tp 272.1, flat+v3+tp 281.3 vs
+        # plain 3D v3 283.1 on-chip 2026-08-19): the 3D bf16 trunk never
+        # had the reshape copies, so tp only adds rows
+        ladder = [(False, False, 2, False, False, False, False)]  # 283.1
     else:
         # measured-good configs FIRST so budget exhaustion can only drop
-        # unproven candidates, never the historical best (full 13-config
-        # sweep measured on-chip 2026-08-18 16:04Z, BENCHLOG.md)
+        # unproven candidates, never the historical best (13-config sweep
+        # 2026-08-18 16:04Z + token-pad/fused-MLP session 2026-08-19,
+        # BENCHLOG.md)
         ladder = [
-            (True, True, 2, True, False),     # int8 fq+v3+flat: 334.1 ***
-            (True, True, 1, True, False),     # int8 fq+v2+flat: 317.9
-            (False, False, 2, False, False),  # bf16 3D + v3: 283.1
-            (True, False, 1, True, False),    # int8 flat + v2: 282.3
-            (True, False, 0, False, False),   # int8 dyn-quant: 279.2
-            (False, False, 0, False, False),  # bf16 baseline: 272.7
-            (False, False, 1, False, False),  # bf16 + v2: 269.6
-            (False, False, 0, True, False),   # bf16 flat: 264.1
-            (False, False, 2, True, True),    # bf16 flat+v3+lnk: 263.0
-            (False, False, 2, True, False),   # bf16 flat + v3: 253.4
-            (False, False, 1, True, True),    # bf16 flat+v2+lnk: 253.7
-            (False, False, 1, True, False),   # bf16 flat + v2: 242.4
-            (True, True, 1, False, False),    # int8 fq+v2 3D: 229.1
+            (True, True, 2, True, False, True, True),    # +tp+fm: 412.4 ***
+            (True, True, 2, True, False, True, False),   # +tp: 391.8
+            (True, True, 2, True, False, False, False),  # fq+v3+flat: 334.1
+            (False, False, 2, False, False, False, False),  # bf16 v3: 283.1
+            (False, False, 2, True, False, True, False),  # bf16 fl+v3+tp: 281.3
+            (True, False, 0, False, False, False, False),  # int8 dyn: 279.2
+            (False, False, 0, False, False, False, False),  # bf16 v1: 272.7
+            (False, False, 2, False, False, True, False),  # bf16 v3+tp: 272.1
+            (False, False, 1, False, False, False, False),  # bf16 v2: 269.6
+            (False, False, 0, True, False, False, False),  # bf16 flat: 264.1
+            (False, False, 2, True, True, False, False),   # fl+v3+lnk: 263.0
+            (False, False, 2, True, False, False, False),  # fl+v3: 253.4
+            (True, True, 1, False, False, False, False),   # fq+v2 3D: 229.1
         ]
     if ("--fused-quant" in sys.argv or "--attn-v2" in sys.argv
             or "--attn-v3" in sys.argv):
         fq_f = "--fused-quant" in sys.argv
         kv_f = 2 if "--attn-v3" in sys.argv else (
             1 if "--attn-v2" in sys.argv else 0)
-        ladder = [(i8, fq_f and i8, kv_f, fl, ln)
-                  for (i8, _, _, fl, ln) in ladder]
+        ladder = [(i8, fq_f and i8, kv_f, fl, ln, tp, fm)
+                  for (i8, _, _, fl, ln, tp, fm) in ladder]
     if "--flat2d" in sys.argv:
-        ladder = [(i8, fq, kv, True, ln) for (i8, fq, kv, _, ln) in ladder]
+        ladder = [(i8, fq, kv, True, ln, tp, fm)
+                  for (i8, fq, kv, _, ln, tp, fm) in ladder]
     if "--fused-ln" in sys.argv:
-        ladder = [(i8, fq, kv, fl, not i8) for (i8, fq, kv, fl, _) in ladder]
+        ladder = [(i8, fq, kv, fl, not i8, tp, fm)
+                  for (i8, fq, kv, fl, _, tp, fm) in ladder]
+    if tokpad:
+        # pad_tokens needs the lean kernels; leave v1 configs unpadded
+        ladder = [(i8, fq, kv, fl, ln, kv >= 1, fm)
+                  for (i8, fq, kv, fl, ln, _, fm) in ladder]
+    if fmlp:
+        ladder = [(i8, fq, kv, fl, ln, tp, fq)
+                  for (i8, fq, kv, fl, ln, tp, _) in ladder]
     ladder = list(dict.fromkeys(ladder))  # remaps can alias configs
 
     if smoke:
@@ -786,7 +804,7 @@ def main():
 
     best, best_cfg = 0.0, {}
     staged_by_prec = {}  # one device upload per precision for all configs
-    for int8, fq, kv, flat, fln in ladder:
+    for int8, fq, kv, flat, fln, tp, fm in ladder:
         if time.perf_counter() - ladder_t0 > budget_s:
             print(f"# ladder budget {budget_s:.0f}s exhausted; "
                   f"skipping remaining configs", file=sys.stderr)
@@ -796,7 +814,7 @@ def main():
                + (f"+hg{attn_hg}" if kv == 2 and attn_hg != 8 else "")
                + ("+flat" if flat else "")
                + ("+lnk" if fln else "") + ("+pad" if padded else "")
-               + ("+tp" if tokpad else ""))
+               + ("+tp" if tp else "") + ("+fm" if fm and fq else ""))
         try:
             if scan and int8 not in staged_by_prec:
                 from hirest_tpu.models.eva_scan import stage_scanned_params
@@ -810,7 +828,8 @@ def main():
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
                                     int8=int8, scan=scan, fused_quant=fq,
                                     attn_v2=kv == 1, attn_v3=kv == 2,
-                                    attn_hg=attn_hg, pad_tokens=tokpad,
+                                    attn_hg=attn_hg, pad_tokens=tp,
+                                    fused_mlp=fm and fq,
                                     flat2d=flat, fused_ln=fln,
                                     staged=staged_by_prec.get(int8),
                                     interpret=smoke)

@@ -165,16 +165,21 @@ def make_eva_encoder(pretrained_dir: str = "./pretrained_weights",
     if scan:
         from hirest_tpu.models.eva_scan import build_scanned_vision_apply
 
-        # measured-best production configs (on-chip 2026-08-18, BENCHLOG):
+        # measured-best production configs (on-chip 2026-08-18/19, BENCHLOG):
         # bf16 -> v3 batched-heads 3D trunk (283.1 fps vs 272.7 v1);
-        # int8 -> fused-quant + v3 + flat trunk (334.1 fps, 90.6% of bf16
-        # peak, vs 279.2 dyn-quant). Kernel flags are inert when
-        # use_pallas is off (the packed guard falls back to XLA).
+        # int8 -> fused-quant + v3 + flat + token padding + fused MLP
+        # (412.4 fps vs 334.1 unpadded-unfused / 279.2 dyn-quant; the
+        # 257 -> 264 token pad makes the flat<->3D attention reshapes true
+        # bitcasts, and the one-kernel MLP keeps the [., 6144] hidden
+        # activation in VMEM). Kernel flags are inert when use_pallas is
+        # off (the packed guard falls back to XLA).
         apply = build_scanned_vision_apply(params, cfg, int8=int8,
                                            use_pallas=use_pallas, dtype=dtype,
                                            attn_v3=use_pallas,
                                            fused_quant=int8 and use_pallas,
                                            flat2d=int8 and use_pallas,
+                                           pad_tokens=int8 and use_pallas,
+                                           fused_mlp=int8 and use_pallas,
                                            uint8_input=uint8_frontend)
         if uint8_frontend:
             # raw bytes cross the host->device boundary; the cast to the

@@ -257,6 +257,8 @@ def build_eva_model_and_transforms(model_name: str = "EVA_CLIP_g_14",
                                              attn_v3=use_pallas,
                                              fused_quant=int8 and use_pallas,
                                              flat2d=int8 and use_pallas,
+                                             pad_tokens=int8 and use_pallas,
+                                             fused_mlp=int8 and use_pallas,
                                              dtype=dtype)
         encode_image = lambda im: scanned(jnp.asarray(im, dtype))  # noqa: E731
         vision_dev = vision_params

@@ -181,6 +181,7 @@ def build_scanned_vision_apply(params: dict,
                                fused_ln: bool = False,
                                uint8_input: bool = False,
                                pad_tokens: bool = False,
+                               fused_mlp: bool = False,
                                staged=None):
     """Build a jitted `apply(images [B, H, W, 3]) -> [B, embed_dim]` whose
     block stack runs under `lax.scan` (one-block compile time).
@@ -230,6 +231,12 @@ def build_scanned_vision_apply(params: dict,
     fq = fused_quant and int8
     if fq:
         from hirest_tpu.ops.quant import act_quant, ln_quant
+    # fused_mlp: the whole fc1 -> gelu -> requant -> fc2 -> +residual chain
+    # runs in one pallas call with the [., mlp_hidden] intermediate resident
+    # in VMEM (ops/quant.fused_mlp_int8) — no act_quant HBM round-trip.
+    fm = fused_mlp and fq
+    if fm:
+        from hirest_tpu.ops.quant import fused_mlp_int8
     # fused_ln: bf16-path LayerNorms run as one-read-one-write Pallas
     # kernels (ops/quant.ln_bf16) instead of XLA's reduce+normalize fusion
     # (two reads of the activation). The pallas call is itself a fusion
@@ -313,10 +320,15 @@ def build_scanned_vision_apply(params: dict,
                                    w["out_b"], dtype))
             h_q, h_s = ln_quant(x, w["norm2_scale"], w["norm2_bias"], eps,
                                 interpret=interpret, row_block=n_tokens)
+            gact = "gelu_poly" if fast_gelu else "gelu"
+            if fm:
+                return fence(fused_mlp_int8(
+                    h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"],
+                    w["fc2_wq"], w["fc2_ws"], w["fc2_b"], x, act=gact,
+                    row_block=n_tokens, interpret=interpret))
             h = _int8_mm(h_q, h_s, w["fc1_wq"], w["fc1_ws"], w["fc1_b"],
                          dtype)
-            h_q, h_s = act_quant(h, act=("gelu_poly" if fast_gelu
-                                         else "gelu"),
+            h_q, h_s = act_quant(h, act=gact,
                                  interpret=interpret, row_block=n_tokens)
             return fence(x + _int8_mm(h_q, h_s, w["fc2_wq"], w["fc2_ws"],
                                       w["fc2_b"], dtype))

@@ -242,6 +242,111 @@ def ln_bf16(x, g, b, eps: float, *, interpret: bool = False,
     )(x, g.astype(jnp.float32), b.astype(jnp.float32))
 
 
+# --- fused int8 MLP (fc1 -> gelu -> requant -> fc2 -> +residual) ----------
+#
+# The unfused int8 MLP round-trips the [M, mlp_hidden] fc1 output through
+# HBM three times per layer (fc1 write, act_quant read+write, fc2 read):
+# ~1.2 GB/layer at EVA-g's 33792x6144, measured ~50 ms/call for act_quant
+# alone (tools/model_probe.py, 2026-08-19). This kernel keeps the hidden
+# activation in VMEM: for each row block it loops over mlp_hidden in
+# N-chunks, computing fc1 -> gelu -> per-(row, chunk) int8 requant ->
+# fc2-partial on the MXU, accumulating the fc2 partials in f32 scratch,
+# and finally adds the residual and bias. HBM traffic per layer drops to
+# reading h_q/x and writing the output once.
+#
+# Numerics: the hidden requant uses per-(row, chunk) scales instead of the
+# unfused path's per-row scales — strictly finer granularity (>= accuracy).
+# When mlp_hidden <= n_chunk (tests' tiny configs) the two are identical.
+
+
+def _fused_mlp_kernel(hq_ref, hs_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+                      s2_ref, b2_ref, x_ref, o_ref, acc_ref, *, act: str,
+                      n_chunks: int):
+    j = pl.program_id(1)
+    inter = jax.lax.dot_general(
+        hq_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = (inter.astype(jnp.float32) * hs_ref[...]
+         * s1_ref[...][None, :] + b1_ref[...][None, :])
+    if act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
+    elif act == "gelu_poly":
+        from hirest_tpu.models.layers import gelu_bf16_poly
+        y = gelu_bf16_poly(y)
+    sc = jnp.maximum(jnp.max(jnp.abs(y), -1, keepdims=True) / 127.0, 1e-8)
+    q2 = jnp.clip(jnp.round(y / sc), -127, 127).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        q2, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * sc
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = (x_ref[...].astype(jnp.float32)
+                        + b2_ref[...][None, :] + part * s2_ref[...][None, :])
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[...] += part * s2_ref[...][None, :]
+
+    @pl.when(j == n_chunks - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def fused_mlp_int8(h_q, h_s, w1_q, w1_s, b1, w2_q, w2_s, b2, x_res, *,
+                   act: str = "gelu_poly", row_block: int | None = None,
+                   n_chunk: int = 1024, interpret: bool = False):
+    """x_res + fc2(requant(act(fc1(h)))) in ONE pallas call.
+
+    h_q [M, C] int8 + h_s [M, 1] f32 (from ln_quant), w1_q [C, F] int8 /
+    w1_s [F] / b1 [F], w2_q [F, C] int8 / w2_s [C] / b2 [C], x_res [M, C]
+    (the residual stream) -> [M, C] x_res.dtype. 3D inputs collapse to
+    flat (reshape is a bitcast for 8-aligned token counts)."""
+    if h_q.ndim == 3:
+        bsz, seq, c = h_q.shape
+        out = fused_mlp_int8(h_q.reshape(bsz * seq, c),
+                             h_s.reshape(bsz * seq, 1), w1_q, w1_s, b1,
+                             w2_q, w2_s, b2, x_res.reshape(bsz * seq, c),
+                             act=act, row_block=row_block or seq,
+                             n_chunk=n_chunk, interpret=interpret)
+        return out.reshape(x_res.shape)
+    m, c = h_q.shape
+    f = w1_q.shape[1]
+    nc = min(n_chunk, f)
+    assert f % nc == 0, (f, nc)
+    n_chunks = f // nc
+    br = row_block if (row_block and m % row_block == 0) else m
+    if br % 8 and br != m:
+        # Mosaic sublane rule: block rows must be 8-divisible or equal the
+        # array dim. Unpadded token counts (257) fall back to a 32-multiple
+        # block with a ragged cdiv tail — rows are independent here, pallas
+        # masks the tail (same policy as _row_specs_flat).
+        br = min(m, 256)
+    # block set: h_q/x/o [br, C], w blocks [C, nc]/[nc, C] int8 (double-
+    # buffered), inter f32 [br, nc], acc f32 [br, C] scratch
+    vmem = pltpu.VMEM if pltpu else None
+    row_i8 = pl.BlockSpec((br, c), lambda i, j: (i, 0), memory_space=vmem)
+    row_s = pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=vmem)
+    w1_spec = pl.BlockSpec((c, nc), lambda i, j: (0, j), memory_space=vmem)
+    s1_spec = pl.BlockSpec((nc,), lambda i, j: (j,), memory_space=vmem)
+    w2_spec = pl.BlockSpec((nc, c), lambda i, j: (j, 0), memory_space=vmem)
+    s2_spec = pl.BlockSpec((c,), lambda i, j: (0,), memory_space=vmem)
+    scratch = [pltpu.VMEM((br, c), jnp.float32)] if pltpu else [None]
+    if interpret and pltpu is None:  # pragma: no cover
+        raise RuntimeError("fused_mlp_int8 needs pallas TPU scratch shapes")
+    return pl.pallas_call(
+        functools.partial(_fused_mlp_kernel, act=act, n_chunks=n_chunks),
+        grid=(pl.cdiv(m, br), n_chunks),
+        in_specs=[row_i8, row_s, w1_spec, s1_spec, s1_spec, w2_spec,
+                  s2_spec, s2_spec, row_i8],
+        out_specs=row_i8,
+        out_shape=jax.ShapeDtypeStruct((m, c), x_res.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(h_q, h_s, w1_q, w1_s.astype(jnp.float32), b1.astype(jnp.float32),
+      w2_q, w2_s.astype(jnp.float32), b2.astype(jnp.float32), x_res)
+
+
 class QuantDense:
     """Stateless int8 replacement for a converted Dense layer: built from a
     float param dict {'kernel', 'bias'?}, callable on activations."""

@@ -192,6 +192,31 @@ def test_scanned_pad_tokens_matches():
         build_scanned_vision_apply(params, cfg, pad_tokens=True, **kw)
 
 
+def test_scanned_fused_mlp_matches():
+    """fused_mlp (one-kernel int8 fc1 -> gelu -> requant -> fc2 -> residual,
+    ops/quant.fused_mlp_int8) vs the unfused fq path. Not bit-exact: the
+    fused kernel keeps the gelu input in f32 (the unfused path rounds the
+    fc1 output through bf16) and mlp_hidden > n_chunk would use finer
+    per-chunk requant scales — both strictly-no-worse numerics."""
+    cfg = EvaVisionConfig(image_size=28, layers=3, width=128, head_width=32,
+                          mlp_ratio=4.0, patch_size=14, embed_dim=32)
+    tower = EvaVisionTower(cfg, dtype=jnp.float32)
+    imgs = jnp.asarray(
+        np.random.default_rng(23).normal(size=(4, 28, 28, 3)), jnp.float32)
+    params = shape_only_init(tower, imgs[:1])
+    kw = dict(use_pallas=True, interpret=True, dtype=jnp.float32,
+              fast_gelu=False, int8=True, fused_quant=True, attn_v3=True)
+    for flat, tp in ((True, True), (True, False), (False, False)):
+        ref = np.asarray(build_scanned_vision_apply(
+            params, cfg, flat2d=flat, pad_tokens=tp, **kw)(imgs))
+        assert not np.allclose(ref, 0)
+        out = np.asarray(build_scanned_vision_apply(
+            params, cfg, flat2d=flat, pad_tokens=tp, fused_mlp=True,
+            **kw)(imgs))
+        np.testing.assert_allclose(ref, out, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"flat={flat} tp={tp}")
+
+
 def test_uint8_frontend_matches_normalized(tiny_setup):
     """Folding (x/255 - mean)/std into the patch embed: raw uint8 frames
     through a uint8_input forward == normalized f32 frames through the

@@ -91,6 +91,20 @@ def test_tok_padded_lowers(quant, hg):
     lower_tpu(fn, sds((B * SP, 3 * HD)))
 
 
+@pytest.mark.parametrize("sp", [S, SP], ids=["s257", "s264tp"])
+def test_fused_mlp_lowers(sp):
+    """fused_mlp_int8 at the EVA-g MLP shapes (M=B*S, C=1408, F=6144)."""
+    from hirest_tpu.ops.quant import fused_mlp_int8
+
+    m, c, f = B * sp, HD, 6144
+    fn = functools.partial(fused_mlp_int8, act="gelu_poly", row_block=sp)
+    lower_tpu(fn, sds((m, c), jnp.int8), sds((m, 1), jnp.float32),
+              sds((c, f), jnp.int8), sds((f,), jnp.float32),
+              sds((f,), jnp.float32), sds((f, c), jnp.int8),
+              sds((c,), jnp.float32), sds((c,), jnp.float32),
+              sds((m, c)))
+
+
 def test_v1_4d_lowers():
     fn = functools.partial(fused_attention, scale=SCALE)
     q = sds((8, HEADS, S, D))
