@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--flat", action="store_true")
     ap.add_argument("--lnk", action="store_true")
     ap.add_argument("--tp", action="store_true", help="pad_tokens 257->264")
+    ap.add_argument("--fm", action="store_true", help="fused int8 MLP")
     ap.add_argument("--hg", type=int, default=8, help="v3 head group")
     ap.add_argument("--bf16", action="store_true", help="(default)")
     ap.add_argument("--batch", type=int, default=128)
@@ -93,7 +94,8 @@ def main():
     apply = bench.build_eva_apply(
         params, cfg, int8=args.int8, fused_quant=args.fq and args.int8,
         attn_v2=args.v2, attn_v3=args.v3, attn_hg=args.hg, flat2d=args.flat,
-        fused_ln=args.lnk, pad_tokens=args.tp, staged=staged)
+        fused_ln=args.lnk, pad_tokens=args.tp,
+        fused_mlp=args.fm and args.int8, staged=staged)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
@@ -149,6 +151,7 @@ def main():
         + ("+v2" if args.v2 else "") + ("+v3" if args.v3 else "") \
         + ("+flat" if args.flat else "") + ("+lnk" if args.lnk else "") \
         + ("+tp" if args.tp else "") \
+        + ("+fm" if args.fm else "") \
         + (f"+hg{args.hg}" if args.hg != 8 else "")
     print(f"\n# trace in {args.tracedir} (perfetto); tag={tag}")
 
