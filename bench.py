@@ -161,7 +161,7 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                     scan: bool = True, dtype_name: str = "bfloat16",
                     fused_quant: bool = False, attn_v2: bool = False,
                     attn_v3: bool = False, attn_hg: int = 8,
-                    flat2d: bool = False,
+                    attn_rows: int = 1, flat2d: bool = False,
                     fused_ln: bool = False, staged=None,
                     uint8_input: bool = False, pad_tokens: bool = False,
                     fused_mlp: bool = False, interpret: bool = False):
@@ -177,7 +177,9 @@ def build_eva_apply(params, cfg, use_pallas: bool = True, int8: bool = False,
                                           use_pallas=use_pallas, dtype=dtype,
                                           fused_quant=fused_quant,
                                           attn_v2=attn_v2, attn_v3=attn_v3,
-                                          attn_hg=attn_hg, flat2d=flat2d,
+                                          attn_hg=attn_hg,
+                                          attn_rows=attn_rows,
+                                          flat2d=flat2d,
                                           fused_ln=fused_ln,
                                           staged=staged,
                                           uint8_input=uint8_input,
@@ -720,11 +722,14 @@ def main():
     tokpad = "--tok-pad" in sys.argv  # token axis 257 -> 264 (8-aligned)
     fmlp = "--fused-mlp" in sys.argv  # one-kernel int8 MLP (fq configs)
     attn_hg = 8  # v3 heads per batched dot; --hg=16 doubles the score tensor
+    attn_rows = 1  # images per attention grid cell (--rows=2)
     for arg in sys.argv[1:]:
         if arg.startswith("--batch="):
             batches = [int(x) for x in arg.split("=")[1].split(",")]
         if arg.startswith("--hg="):
             attn_hg = int(arg.split("=")[1])
+        if arg.startswith("--rows="):
+            attn_rows = int(arg.split("=")[1])
 
     # Config ladder: (int8, fused_quant, kernel_version, flat2d, fused_ln,
     # pad_tokens, fused_mlp) with kernel_version 0 = v1 fused-qkv, 1 = v2
@@ -814,7 +819,8 @@ def main():
                + (f"+hg{attn_hg}" if kv == 2 and attn_hg != 8 else "")
                + ("+flat" if flat else "")
                + ("+lnk" if fln else "") + ("+pad" if padded else "")
-               + ("+tp" if tp else "") + ("+fm" if fm and fq else ""))
+               + ("+tp" if tp else "") + ("+fm" if fm and fq else "")
+               + (f"+r{attn_rows}" if attn_rows != 1 else ""))
         try:
             if scan and int8 not in staged_by_prec:
                 from hirest_tpu.models.eva_scan import stage_scanned_params
@@ -828,7 +834,8 @@ def main():
             apply = build_eva_apply(params, cfg, use_pallas=use_pallas,
                                     int8=int8, scan=scan, fused_quant=fq,
                                     attn_v2=kv == 1, attn_v3=kv == 2,
-                                    attn_hg=attn_hg, pad_tokens=tp,
+                                    attn_hg=attn_hg, attn_rows=attn_rows,
+                                    pad_tokens=tp,
                                     fused_mlp=fm and fq,
                                     flat2d=flat, fused_ln=fln,
                                     staged=staged_by_prec.get(int8),

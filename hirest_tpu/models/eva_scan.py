@@ -177,6 +177,7 @@ def build_scanned_vision_apply(params: dict,
                                attn_v2: bool = False,
                                attn_v3: bool = False,
                                attn_hg: int = 8,
+                               attn_rows: int = 1,
                                flat2d: bool = False,
                                fused_ln: bool = False,
                                uint8_input: bool = False,
@@ -361,6 +362,7 @@ def build_scanned_vision_apply(params: dict,
             a_qs = fused_attention_flat(qkv.astype(dtype), scale, heads,
                                         n_tokens, interpret=interpret,
                                         quant_out=True, head_group=hg,
+                                        rows_per_cell=attn_rows,
                                         n_real=mask_real)
             return _out_mlp(x, w, a_qs=a_qs), None
         if lean:
